@@ -1,0 +1,217 @@
+"""LikelihoodEngine: binds an Alignment + model + rate model to jitted
+device computations over arbitrary topologies.
+
+Host objects (Tree, SubstModel, RateModel) stay on the host; the engine
+converts them to static-shaped arrays (schedule, ModelPack) and calls the
+jitted kernels in ops/pruning.py. One engine instance serves many topologies
+without recompilation (shapes depend only on ntaxa / pattern count).
+
+Reference analog: PhyloTree (tree/phylotree.h:343) minus the search logic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iqtree2_tpu.data.alignment import Alignment
+from iqtree2_tpu.model.pack import ModelPack, build_model_pack
+from iqtree2_tpu.ops import pruning
+from iqtree2_tpu.tree.schedule import (TreeSchedule, build_schedule,
+                                       write_blens_to_tree)
+from iqtree2_tpu.tree.topology import Tree
+
+DEFAULT_MIN_BLEN = 1e-6   # reference: min_branch_length (utils/tools.cpp)
+DEFAULT_MAX_BLEN = 10.0   # reference: max_branch_length
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ----------------------------------------------------------- jitted kernels
+@functools.partial(jax.jit, static_argnames=())
+def _loglik_jit(blens, tipP, sched, pack, pattern_weights):
+    return pruning.tree_loglik(blens, tipP, sched, pack, pattern_weights)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton"))
+def _optimize_blens_jit(blens, tipP, sched, pack, pattern_weights,
+                        t_min, t_max, n_rounds: int, n_newton: int):
+    """Iterative all-branch Newton via theta buffers with global backtracking.
+
+    Each round: down pass (cache msgs) + up pass -> thetas for every edge ->
+    per-edge bounded Newton (parallel coordinate update) -> monotonicity
+    backtracking on the joint update. Reference analog: optimizeAllBranches
+    sweeps (tree/phylotree.cpp:2689) — here all branches update in parallel.
+    """
+    dtype = tipP.dtype
+
+    def lg(b):
+        return pruning.tree_loglik(b, tipP, sched, pack, pattern_weights)[0]
+
+    def one_round(carry, _):
+        blens, logL_prev = carry
+        P = pruning.transition_tensors(blens.astype(dtype), pack)
+        dp = pruning.down_pass(P, tipP, sched["child_ptr"],
+                               sched["child_is_leaf"], sched["child_edge"],
+                               sched["child_valid"], keep_msgs=True)
+        up = pruning.up_pass(P, dp, sched["child_ptr"],
+                             sched["child_is_leaf"], sched["child_edge"],
+                             sched["child_valid"], pack["root_freqs"])
+        th = pruning.edge_thetas(up, dp, tipP, sched["child_ptr"],
+                                 sched["child_is_leaf"],
+                                 sched["child_valid"], pack)
+        newton = jax.vmap(
+            lambda t_e, th_e, sc_e: pruning.newton_branch_step(
+                th_e, sc_e, t_e, pack, pack["log_ptn_invar"],
+                pattern_weights, t_min, t_max, n_iter=n_newton))
+        prop = newton(blens.astype(dtype), th.theta, th.scale)
+        prop = jnp.clip(prop, t_min, t_max)
+
+        # backtracking: halve the joint step while logL decreases (<=4 times)
+        def body(state):
+            cur, _, k = state
+            cur = 0.5 * (cur + blens)
+            return cur, lg(cur), k + 1
+
+        def cond(state):
+            cur, lcur, k = state
+            return (lcur < logL_prev - 1e-9) & (k < 4)
+
+        l_prop = lg(prop)
+        prop, l_new, _ = jax.lax.while_loop(
+            cond, body, (prop, l_prop, jnp.zeros((), jnp.int32)))
+        return (prop, l_new), l_new
+
+    l0 = lg(blens)
+    (blens, logL), _ = jax.lax.scan(one_round, (blens, l0), None,
+                                    length=n_rounds)
+    return blens, logL
+
+
+@jax.jit
+def _site_lp_jit(blens, tipP, sched, pack, pattern_weights):
+    logL, lp = pruning.tree_loglik(blens, tipP, sched, pack, pattern_weights)
+    return logL, lp
+
+
+@jax.jit
+def _passes_jit(blens, tipP, sched, pack, pattern_weights):
+    """Down+up passes with cached messages (for NNI eval / thetas)."""
+    dtype = tipP.dtype
+    P = pruning.transition_tensors(blens.astype(dtype), pack)
+    dp = pruning.down_pass(P, tipP, sched["child_ptr"],
+                           sched["child_is_leaf"], sched["child_edge"],
+                           sched["child_valid"], keep_msgs=True)
+    up = pruning.up_pass(P, dp, sched["child_ptr"], sched["child_is_leaf"],
+                         sched["child_edge"], sched["child_valid"],
+                         pack["root_freqs"])
+    logL, _ = pruning.root_loglik(dp.partials[-1], dp.scale[-1],
+                                  pack["root_freqs"], pack["cat_weight"],
+                                  pack["log_ptn_invar"], pattern_weights)
+    return dp, up, logL
+
+
+class LikelihoodEngine:
+    def __init__(self, aln: Alignment, model, rates, dtype=jnp.float32,
+                 pattern_pad: int = 128):
+        self.aln = aln
+        self.model = model
+        self.rates = rates
+        self.dtype = jnp.dtype(dtype)
+
+        P = aln.num_patterns
+        self.Pp = _round_up(max(P, 1), pattern_pad)
+        pad = self.Pp - P
+
+        codes = aln.tip_codes()  # [L, P]
+        unk = aln.seqtype.unknown_code
+        self.tip_codes = np.pad(codes, ((0, 0), (0, pad)),
+                                constant_values=unk)
+        self.pattern_weights = np.pad(
+            aln.pattern_weights.astype(np.float64), (0, pad))
+        self._dev_pw = jnp.asarray(self.pattern_weights, dtype=self.dtype)
+
+        self.pack_np: ModelPack | None = None
+        self._dev_pack = None
+        self._dev_tipP = None
+        self.refresh_model()
+
+    # ----------------------------------------------------------- model mgmt
+    def refresh_model(self) -> None:
+        """Rebuild the ModelPack after model/rate parameter changes."""
+        pk = build_model_pack(self.aln, self.model, self.rates)
+        pad = self.Pp - self.aln.num_patterns
+        log_inv = np.pad(pk.log_ptn_invar, (0, pad),
+                         constant_values=-np.inf)
+        self.pack_np = pk
+        d = self.dtype
+        self._dev_pack = dict(
+            eigvals=jnp.asarray(pk.eigvals, d),
+            U=jnp.asarray(pk.U, d),
+            V=jnp.asarray(pk.V, d),
+            W=None if pk.W is None else jnp.asarray(pk.W, d),
+            sqrt_freqs=None if pk.sqrt_freqs is None
+            else jnp.asarray(pk.sqrt_freqs, d),
+            cat_rate=jnp.asarray(pk.cat_rate, d),
+            cat_weight=jnp.asarray(pk.cat_weight, d),
+            cat_mix=jnp.asarray(pk.cat_mix, jnp.int32),
+            root_freqs=jnp.asarray(pk.root_freqs, d),
+            log_ptn_invar=jnp.asarray(log_inv, d),
+        )
+        tip_table = jnp.asarray(pk.tip_table, d)
+        tipP = pruning.tip_partials(jnp.asarray(self.tip_codes), tip_table)
+        self._dev_tipP = tipP
+
+    # ------------------------------------------------------------- schedule
+    def schedule_arrays(self, sched: TreeSchedule) -> dict:
+        return {k: jnp.asarray(v) for k, v in
+                sched.to_device_arrays().items()}
+
+    # ------------------------------------------------------------ main API
+    def loglik_tree(self, tree: Tree) -> float:
+        sched = build_schedule(tree)
+        return self.loglik_sched(sched)
+
+    def loglik_sched(self, sched: TreeSchedule) -> float:
+        logL, _ = _loglik_jit(jnp.asarray(sched.blens, self.dtype),
+                              self._dev_tipP,
+                              self.schedule_arrays(sched),
+                              self._dev_pack, self._dev_pw)
+        return float(logL)
+
+    def site_lp(self, tree: Tree) -> tuple[float, np.ndarray]:
+        """(logL, per-pattern log-likelihood [num_patterns])."""
+        sched = build_schedule(tree)
+        logL, lp = _site_lp_jit(jnp.asarray(sched.blens, self.dtype),
+                                self._dev_tipP,
+                                self.schedule_arrays(sched),
+                                self._dev_pack, self._dev_pw)
+        return float(logL), np.asarray(lp)[: self.aln.num_patterns]
+
+    def compute_passes(self, sched: TreeSchedule):
+        """(DownPass, UpPass, logL) device buffers for one topology."""
+        dp, up, logL = _passes_jit(jnp.asarray(sched.blens, self.dtype),
+                                   self._dev_tipP,
+                                   self.schedule_arrays(sched),
+                                   self._dev_pack, self._dev_pw)
+        return dp, up, float(logL)
+
+    def optimize_branches(self, tree: Tree, n_rounds: int = 10,
+                          n_newton: int = 4,
+                          t_min: float = DEFAULT_MIN_BLEN,
+                          t_max: float = DEFAULT_MAX_BLEN) -> float:
+        """Optimize all branch lengths in place on the host tree."""
+        sched = build_schedule(tree)
+        blens = jnp.asarray(np.maximum(sched.blens, t_min), self.dtype)
+        new_blens, logL = _optimize_blens_jit(
+            blens, self._dev_tipP, self.schedule_arrays(sched),
+            self._dev_pack, self._dev_pw,
+            jnp.asarray(t_min, self.dtype), jnp.asarray(t_max, self.dtype),
+            n_rounds, n_newton)
+        write_blens_to_tree(tree, sched, np.asarray(new_blens, np.float64))
+        return float(logL)

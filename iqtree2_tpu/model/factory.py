@@ -1,0 +1,177 @@
+"""Model-string parser: "GTR+F+I+G4" -> (SubstModel, RateModel).
+
+Reference analog: ModelFactory (model/modelfactory.cpp:151) which parses the
+model specification into substitution-model + rate-heterogeneity objects.
+Supported grammar (subset growing toward full reference coverage):
+
+  NAME[{p1,p2,...}] [+F|+FO|+FQ|+FC|+FU{...}|+FEQ] [+I[{p}]] [+G[n][{a}]]
+       [+R[n][{r1,w1,...}]] [+E]  and MIX{m1,...}
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from iqtree2_tpu.data.alignment import Alignment
+from iqtree2_tpu.model import dna, protein
+from iqtree2_tpu.model.rates import (RateFree, RateFreeInvar, RateGamma,
+                                     RateGammaInvar, RateInvar, RateModel)
+from iqtree2_tpu.model.subst import GTRModel, SubstModel
+
+
+class ModelSpec:
+    def __init__(self, base: str, base_params, freq_type, freq_params,
+                 rate_terms):
+        self.base = base
+        self.base_params = base_params
+        self.freq_type = freq_type
+        self.freq_params = freq_params
+        self.rate_terms = rate_terms  # list of (kind, ncat, params)
+
+
+_TERM_RE = re.compile(r"\+([A-Za-z]+)(\d*)(\{[^}]*\})?")
+
+
+def parse_model_string(s: str) -> ModelSpec:
+    s = s.strip()
+    # base name with optional {params}
+    m = re.match(r"^([A-Za-z0-9._]+)(\{[^}]*\})?", s)
+    if not m:
+        raise ValueError(f"cannot parse model string {s!r}")
+    base = m.group(1)
+    base_params = _parse_braces(m.group(2))
+    rest = s[m.end():]
+
+    freq_type = None
+    freq_params = None
+    rate_terms: list[tuple[str, int, list[float]]] = []
+    for t in _TERM_RE.finditer(rest):
+        kind = t.group(1).upper()
+        num = int(t.group(2)) if t.group(2) else None
+        params = _parse_braces(t.group(3))
+        if kind in ("F", "FO", "FQ", "FEQ", "FU", "FC"):
+            freq_type = {"F": "empirical", "FO": "estimate", "FQ": "equal",
+                         "FEQ": "equal", "FU": "user",
+                         "FC": "empirical"}[kind]
+            freq_params = params
+        elif kind == "I":
+            rate_terms.append(("I", 1, params))
+        elif kind == "G":
+            rate_terms.append(("G", num or 4, params))
+        elif kind == "R":
+            rate_terms.append(("R", num or 4, params))
+        elif kind == "E":
+            rate_terms.append(("E", 1, params))  # seq error; handled later
+        elif kind == "ASC":
+            rate_terms.append(("ASC", 1, params))
+        elif kind == "H":
+            rate_terms.append(("H", num or 4, params))
+        else:
+            raise ValueError(f"unsupported model term +{kind} in {s!r}")
+    return ModelSpec(base, base_params, freq_type, freq_params, rate_terms)
+
+
+def _parse_braces(s: str | None) -> list[float] | None:
+    if not s:
+        return None
+    inner = s.strip()[1:-1]
+    if not inner:
+        return []
+    return [float(x) for x in inner.split(",")]
+
+
+def build_model(spec_str: str, aln: Alignment) -> tuple[SubstModel, RateModel,
+                                                        dict]:
+    """Instantiate model + rates for an alignment. Returns (model, rates,
+    extras) where extras carries +ASC / +E flags."""
+    spec = parse_model_string(spec_str)
+    st = aln.seqtype.name
+    extras: dict = {}
+
+    # ---------------- substitution model
+    base_upper = spec.base.upper()
+    freqs = None
+    freq_type = spec.freq_type
+    if freq_type == "user" and spec.freq_params:
+        freqs = np.asarray(spec.freq_params, dtype=np.float64)
+        freqs = freqs / freqs.sum()
+    elif freq_type == "empirical" and spec.freq_params:
+        # "+F{...}" with explicit values behaves like user frequencies
+        freqs = np.asarray(spec.freq_params, dtype=np.float64)
+        freqs = freqs / freqs.sum()
+        freq_type = "user"
+    elif freq_type == "empirical":
+        freqs = aln.state_frequencies()
+
+    if st == "DNA" and dna.is_dna_model_name(base_upper):
+        # DNA named model; default '+F'-less behavior: counted frequencies
+        # for F81/HKY-class models is 'empirical' per reference defaults
+        canonical, code, def_freq = dna.DNA_MODELS.get(
+            base_upper, (spec.base, base_upper, "estimate"))
+        ft = freq_type or def_freq
+        if ft == "empirical" and freqs is None:
+            freqs = aln.state_frequencies()
+        if ft == "estimate" and freqs is None:
+            freqs = aln.state_frequencies()  # starting point for estimation
+        model = dna.make_dna_model(base_upper, freqs=freqs, freq_type=ft)
+        if spec.base_params:
+            model.set_rate_params(np.asarray(spec.base_params))
+            model.fixed_rates = True
+    elif st == "AA" and protein.is_protein_model_name(base_upper):
+        model = protein.make_protein_model(
+            spec.base, freqs=freqs, freq_type=freq_type)
+    elif base_upper in ("MK", "JC2", "ORDERED") or st in ("BIN",) or \
+            st.startswith("MORPH"):
+        S = aln.num_states
+        model = GTRModel(S, freq_type=freq_type or "equal",
+                         freqs=freqs if freqs is not None
+                         else np.full(S, 1.0 / S),
+                         name=base_upper, fixed_rates=True)
+        if base_upper == "ORDERED":
+            # ordered states: only adjacent transitions
+            iu = np.triu_indices(S, 1)
+            model.exch_rates = np.where(
+                iu[1] - iu[0] == 1, 1.0, 0.0).astype(np.float64)
+    elif base_upper == "GTR20":
+        model = protein.make_protein_model("GTR20", freq_type=freq_type)
+    else:
+        raise ValueError(
+            f"model {spec.base!r} not supported for seqtype {st}")
+
+    # ---------------- rate heterogeneity
+    kinds = {k for (k, _, _) in spec.rate_terms}
+    if "ASC" in kinds:
+        extras["asc"] = True
+    get = {k: (n, p) for (k, n, p) in spec.rate_terms}
+
+    p_inv = 0.0
+    if "I" in kinds:
+        n, p = get["I"]
+        p_inv = p[0] if p else 0.1
+        extras["fix_pinv"] = bool(p)
+    if "G" in kinds:
+        n, p = get["G"]
+        alpha = p[0] if p else 1.0
+        extras["fix_alpha"] = bool(p)
+        if "I" in kinds:
+            rates = RateGammaInvar(n, alpha=alpha, p_invar=p_inv)
+        else:
+            rates = RateGamma(n, alpha=alpha)
+    elif "R" in kinds:
+        n, p = get["R"]
+        rr = ww = None
+        if p:
+            ww = np.asarray(p[0::2])
+            rr = np.asarray(p[1::2])
+            extras["fix_free_rates"] = True
+        if "I" in kinds:
+            rates = RateFreeInvar(n, p_invar=p_inv, rates=rr, weights=ww)
+        else:
+            rates = RateFree(n, rates=rr, weights=ww)
+    elif "I" in kinds:
+        rates = RateInvar(p_inv)
+    else:
+        rates = RateModel()
+    return model, rates, extras

@@ -1,0 +1,107 @@
+"""NNI hill-climbing on the host, scored by batched device evaluation.
+
+Reference analog: IQTree::optimizeNNI (tree/iqtree.cpp:2998) /
+evaluateNNIs (:3426): evaluate all candidate NNIs, apply the best
+non-conflicting improving subset, re-optimize, repeat until no improvement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from iqtree2_tpu.engine import (DEFAULT_MAX_BLEN, DEFAULT_MIN_BLEN,
+                                LikelihoodEngine)
+from iqtree2_tpu.ops.nni import build_nni_candidates, evaluate_nnis
+from iqtree2_tpu.tree.schedule import build_schedule
+from iqtree2_tpu.tree.topology import Tree
+
+
+@dataclasses.dataclass
+class NNIResult:
+    logL: float
+    n_rounds: int
+    n_applied_total: int
+
+
+def _slot_node(tree: Tree, sched, i_node: int, slot: int) -> int:
+    ptr = int(sched.child_ptr[i_node, slot])
+    if sched.child_is_leaf[i_node, slot]:
+        return ptr
+    return sched.postorder_nodes[ptr]
+
+
+def nni_optimize(eng: LikelihoodEngine, tree: Tree,
+                 loglh_epsilon: float = 0.001,
+                 max_rounds: int = 100,
+                 blen_rounds: int = 4,
+                 verbose: bool = False) -> NNIResult:
+    """Hill-climb with NNI moves until no improving move remains.
+
+    Mutates ``tree`` in place; returns the final logL.
+    """
+    total_applied = 0
+    logL = eng.optimize_branches(tree, n_rounds=blen_rounds)
+    rnd = 0
+    for rnd in range(1, max_rounds + 1):
+        sched = build_schedule(tree)
+        cand = build_nni_candidates(tree, sched)
+        if len(cand.nodes_u) == 0:
+            break
+        dp, up, cur_logL = eng.compute_passes(sched)
+        cand_arrays = (jnp.asarray(cand.iu), jnp.asarray(cand.iv),
+                       jnp.asarray(cand.slot_a), jnp.asarray(cand.slot_b),
+                       jnp.asarray(cand.slot_c), jnp.asarray(cand.has_c2),
+                       jnp.asarray(cand.slot_c2), jnp.asarray(cand.edge_id))
+        logl, t_opt = evaluate_nnis(
+            cand_arrays, jnp.asarray(sched.blens, eng.dtype),
+            dp.msgs, dp.msg_scale, up.up_in, up.up_scale,
+            eng._dev_pack, eng._dev_pw,
+            jnp.asarray(DEFAULT_MIN_BLEN, eng.dtype),
+            jnp.asarray(DEFAULT_MAX_BLEN, eng.dtype))
+        logl = np.asarray(logl)     # [n, 3]; col 2 = baseline (no swap)
+        t_opt = np.asarray(t_opt)
+
+        base = logl[:, 2]
+        gains = logl[:, :2] - base[:, None]
+        best_var = gains.argmax(axis=1)
+        best_gain = gains[np.arange(len(base)), best_var]
+        order = np.argsort(-best_gain)
+        used_nodes: set[int] = set()
+        applied = 0
+        for ci in order:
+            if best_gain[ci] <= loglh_epsilon:
+                break
+            u = cand.nodes_u[ci]
+            v = cand.nodes_v[ci]
+            if u in used_nodes or v in used_nodes:
+                continue
+            var = int(best_var[ci])
+            # variant 0 swaps child at slot_b with sibling c;
+            # variant 1 swaps child at slot_a with sibling c
+            iu, iv = int(cand.iu[ci]), int(cand.iv[ci])
+            moved_slot = cand.slot_b[ci] if var == 0 else cand.slot_a[ci]
+            x = _slot_node(tree, sched, iu, int(moved_slot))
+            c = _slot_node(tree, sched, iv, int(cand.slot_c[ci]))
+            tree.swap_subtrees(u, x, v, c)
+            tree.set_blen(u, v, float(t_opt[ci, var]))
+            used_nodes.update([u, v])
+            applied += 1
+        if applied == 0:
+            logL = cur_logL
+            break
+        total_applied += applied
+        new_logL = eng.optimize_branches(tree, n_rounds=blen_rounds)
+        if verbose:
+            print(f"  [nni] round {rnd}: applied {applied}, "
+                  f"logL {new_logL:.4f}")
+        if new_logL < logL - 1e-6:
+            # should not happen often; keep going but note regression
+            pass
+        if new_logL - logL < loglh_epsilon:
+            logL = max(new_logL, logL)
+            break
+        logL = new_logL
+    return NNIResult(logL=logL, n_rounds=rnd, n_applied_total=total_applied)

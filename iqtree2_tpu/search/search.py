@@ -1,0 +1,155 @@
+"""Stochastic tree search controller (host).
+
+Reference analog: IQTree::doTreeSearch (tree/iqtree.cpp:2196):
+  1. initCandidateTreeSet (:697): parsimony + BIONJ start trees, quick
+     branch optimization, NNI-polish the best ones into the candidate set.
+  2. iterate: pick a top candidate, perturb (random NNIs / IQP), NNI
+     hill-climb, update candidate set; stop by StopRule / UFBoot
+     correlation.
+Defaults follow SURVEY A12 (numInitTrees=100, numNNITrees=20, popSize=5,
+unsuccess_iteration=100).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from iqtree2_tpu.data.alignment import Alignment
+from iqtree2_tpu.engine import LikelihoodEngine
+from iqtree2_tpu.ops.distances import hamming_jc_distances, ml_distances
+from iqtree2_tpu.ops.pars import fitch_score, random_stepwise_addition, \
+    state_bitmasks
+from iqtree2_tpu.search.bionj import bionj_tree
+from iqtree2_tpu.search.candidate import CandidateSet
+from iqtree2_tpu.search.nni import nni_optimize
+from iqtree2_tpu.search.perturb import iqp_perturb, random_nnis
+from iqtree2_tpu.search.stoprule import StopRule
+from iqtree2_tpu.tree.topology import Tree
+
+
+@dataclasses.dataclass
+class SearchParams:
+    n_init_trees: int = 100         # numInitTrees
+    n_nni_trees: int = 20           # numNNITrees
+    pop_size: int = 5               # popSize
+    pertub_strength: float = 0.5    # initPS
+    loglh_epsilon: float = 0.001
+    use_iqp: bool = False
+    seed: int = 1
+    min_iterations: int = 100
+    max_iterations: int = 1000
+    unsuccess_iteration: int = 100
+    fixed_iterations: int | None = None
+
+
+@dataclasses.dataclass
+class SearchResult:
+    best_tree: Tree
+    best_logL: float
+    n_iterations: int
+    candidates: CandidateSet
+
+
+class TreeSearch:
+    def __init__(self, eng: LikelihoodEngine, aln: Alignment,
+                 params: SearchParams | None = None,
+                 ufboot=None, log=None):
+        self.eng = eng
+        self.aln = aln
+        self.params = params or SearchParams()
+        self.rng = np.random.default_rng(self.params.seed)
+        self.cands = CandidateSet(max_size=self.params.n_nni_trees,
+                                  max_top=self.params.pop_size)
+        self.ufboot = ufboot  # optional UFBoot collector
+        self.log = log or (lambda s: None)
+
+    # ------------------------------------------------------------ init set
+    def init_candidates(self) -> None:
+        p = self.params
+        self.log(f"Generating {p.n_init_trees} parsimony start trees...")
+        masks = state_bitmasks(self.aln)
+        w = self.aln.pattern_weights
+        scored: list[tuple[float, Tree]] = []
+        seen: set[str] = set()
+        for i in range(p.n_init_trees):
+            t = random_stepwise_addition(self.aln, self.rng)
+            tid = t.topology_id()
+            if tid in seen:
+                continue
+            seen.add(tid)
+            scored.append((fitch_score(t, masks, w), t))
+        # BIONJ tree from ML (or JC) distances
+        try:
+            D = ml_distances(self.aln, self.eng.model, dtype=self.eng.dtype)
+        except Exception:
+            D = hamming_jc_distances(self.aln)
+        tb = bionj_tree(D, self.aln.names)
+        tb.clamp_blens(1e-6, 10.0)
+        scored.append((fitch_score(tb, masks, w), tb))
+        scored.sort(key=lambda x: x[0])
+
+        # quick branch optimization on the best parsimony trees
+        top = scored[: max(p.n_nni_trees, 1)]
+        self.log(f"Optimizing {len(top)} best start trees...")
+        for _, t in top:
+            logL = self.eng.optimize_branches(t, n_rounds=4)
+            self._save_tree(t, logL)
+            self.cands.update(t, logL)
+        # NNI-polish the best few into proper local optima
+        for it in list(self.cands.items[: p.pop_size]):
+            t = it.tree.copy()
+            res = nni_optimize(self.eng, t,
+                               loglh_epsilon=p.loglh_epsilon)
+            self._save_tree(t, res.logL)
+            self.cands.update(t, res.logL)
+        self.log(f"Initial best logL: {self.cands.best_score():.4f}")
+
+    # ---------------------------------------------------------- main loop
+    def run(self) -> SearchResult:
+        p = self.params
+        if len(self.cands) == 0:
+            self.init_candidates()
+        stop = StopRule(
+            min_iterations=p.min_iterations,
+            max_iterations=p.max_iterations,
+            unsuccess_iteration=p.unsuccess_iteration,
+            fixed_iterations=p.fixed_iterations,
+            use_correlation=self.ufboot is not None)
+        it = 0
+        while True:
+            it += 1
+            cand = self.cands.random_top(self.rng)
+            t = cand.tree.copy()
+            if p.use_iqp:
+                iqp_perturb(t, self.aln, self.rng)
+            else:
+                random_nnis(t, self.rng, p.pertub_strength)
+            res = nni_optimize(self.eng, t, loglh_epsilon=p.loglh_epsilon)
+            self._save_tree(t, res.logL)
+            improved = res.logL > self.cands.best_score() + p.loglh_epsilon
+            self.cands.update(t, res.logL)
+            if improved:
+                stop.note_improvement(it)
+                self.log(f"BETTER TREE FOUND at iteration {it}: "
+                         f"{res.logL:.4f}")
+            corr_done = None
+            if self.ufboot is not None and \
+                    it % self.ufboot.step_iterations == 0:
+                corr_done = self.ufboot.check_convergence()
+            if stop.should_stop(it, corr_done):
+                break
+        best = self.cands.best()
+        return SearchResult(best_tree=best.tree.copy(),
+                            best_logL=best.logL, n_iterations=it,
+                            candidates=self.cands)
+
+    # ------------------------------------------------------------- helpers
+    def _save_tree(self, tree: Tree, logL: float) -> None:
+        """Hook every optimized tree into UFBoot RELL scoring
+        (reference analog: saveCurrentTree, tree/iqtree.cpp:3553)."""
+        if self.ufboot is not None:
+            _, lp = self.eng.site_lp(tree)
+            self.ufboot.add_tree(tree, lp)

@@ -1,0 +1,180 @@
+"""UFBoot2: ultrafast bootstrap by RELL resampling of site log-likelihoods.
+
+Reference analogs (SURVEY §3d, A2): boot_samples = per-replicate
+pattern-frequency vectors (tree/iqtree.h:775) drawn from a dedicated RNG
+stream; every optimized tree visited during search is RELL-rescored against
+all replicates (saveCurrentTree, tree/iqtree.cpp:3553 — here one [R,P]@[P]
+matvec instead of the per-replicate dot loop); per-replicate argmax tree is
+kept with reservoir tie-breaking (:3620); convergence = split-support
+correlation between the two replicate halves (computeBootstrapCorrelation
+:4175); supports mapped onto the ML tree (summarizeBootstrap :3816).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from iqtree2_tpu.data.alignment import Alignment
+from iqtree2_tpu.tree.topology import Tree
+
+
+class UFBoot:
+    def __init__(self, aln: Alignment, n_replicates: int = 1000,
+                 seed: int = 1, epsilon: float = 0.5,
+                 min_correlation: float = 0.99,
+                 step_iterations: int = 100):
+        self.aln = aln
+        self.n_replicates = n_replicates
+        self.epsilon = epsilon
+        self.min_correlation = min_correlation
+        self.step_iterations = step_iterations
+        # dedicated RNG stream so checkpoints never store the samples
+        # (regenerated deterministically on resume — reference A2)
+        rng = np.random.default_rng(seed ^ 0x5F5E100)
+        self.samples = aln.bootstrap_pattern_weights(
+            rng, nrep=n_replicates).astype(np.float32)  # [R, P]
+        self.tie_rng = np.random.default_rng(seed ^ 0x2FE)
+        self.boot_logl = np.full(n_replicates, -np.inf, dtype=np.float64)
+        self.boot_trees: list[str | None] = [None] * n_replicates
+        self.boot_counts = np.zeros(n_replicates, dtype=np.int64)
+        self.trees_newick: dict[str, str] = {}
+        self.logl_cutoff = -np.inf
+        self.n_scored = 0
+
+    # ---------------------------------------------------------------- core
+    def add_tree(self, tree: Tree, pattern_lp: np.ndarray) -> None:
+        """RELL-rescore one candidate tree against all replicates."""
+        self.n_scored += 1
+        rell = self.samples @ pattern_lp.astype(np.float32)  # [R]
+        tid = tree.topology_id()
+        better = rell > self.boot_logl + self.epsilon
+        close = np.abs(rell - self.boot_logl) <= self.epsilon
+        # reservoir-style tie-break: replace with prob 1/(count+1)
+        u = self.tie_rng.random(self.n_replicates)
+        tie_take = close & (u < 1.0 / (self.boot_counts + 1))
+        take = better | tie_take
+        if take.any():
+            if tid not in self.trees_newick:
+                self.trees_newick[tid] = tree.to_newick()
+            self.boot_logl = np.where(better, rell, self.boot_logl)
+            for r in np.nonzero(take)[0]:
+                self.boot_trees[r] = tid
+            self.boot_counts = np.where(close, self.boot_counts + 1,
+                                        self.boot_counts)
+            self.boot_counts = np.where(better, 1, self.boot_counts)
+
+    # --------------------------------------------------------- convergence
+    def _split_supports(self, reps: list[int]) -> dict[frozenset, float]:
+        cnt: Counter = Counter()
+        n = 0
+        for r in reps:
+            tid = self.boot_trees[r]
+            if tid is None:
+                continue
+            n += 1
+            t = Tree.from_newick(self.trees_newick[tid], self.aln.names)
+            for s in t.splits().keys():
+                cnt[s] += 1
+        if n == 0:
+            return {}
+        return {s: c / n for s, c in cnt.items()}
+
+    def check_convergence(self) -> bool:
+        """Correlation of split supports between the two replicate halves."""
+        R = self.n_replicates
+        h1 = self._split_supports(list(range(R // 2)))
+        h2 = self._split_supports(list(range(R // 2, R)))
+        if not h1 or not h2:
+            return False
+        keys = sorted(set(h1) | set(h2), key=lambda s: tuple(sorted(s)))
+        a = np.array([h1.get(k, 0.0) for k in keys])
+        b = np.array([h2.get(k, 0.0) for k in keys])
+        if a.std() == 0 or b.std() == 0:
+            return True
+        corr = float(np.corrcoef(a, b)[0, 1])
+        return corr >= self.min_correlation
+
+    # ------------------------------------------------------------ summary
+    def supports_for(self, tree: Tree) -> dict[tuple[int, int], float]:
+        """Bootstrap support (percent) per internal branch of `tree`."""
+        sup = self._split_supports(list(range(self.n_replicates)))
+        out = {}
+        for s, (a, b) in tree.splits().items():
+            out[Tree._key(a, b)] = 100.0 * sup.get(s, 0.0)
+        return out
+
+    def consensus_tree(self, min_freq: float = 0.5) -> Tree:
+        """Majority-rule consensus of replicate trees (reference analog:
+        .contree via summarizeBootstrap)."""
+        sup = self._split_supports(list(range(self.n_replicates)))
+        majority = {s: f for s, f in sup.items() if f > min_freq}
+        return greedy_consensus(majority, self.aln.names)
+
+
+def greedy_consensus(split_freqs: dict[frozenset, float],
+                     names: list[str]) -> Tree:
+    """Build a (possibly multifurcating) tree from compatible splits,
+    greedily by frequency; then resolve multifurcations arbitrarily into a
+    binary tree with zero-length branches."""
+    L = len(names)
+    accepted: list[frozenset] = []
+
+    def compatible(s1: frozenset, s2: frozenset) -> bool:
+        a, b = set(s1), set(s2)
+        full = set(range(L))
+        return (not (a & b)) or a <= b or b <= a or \
+            (a | b == full)
+
+    for s, f in sorted(split_freqs.items(), key=lambda kv: -kv[1]):
+        if 1 < len(s) < L - 1 and all(compatible(s, t) for t in accepted):
+            accepted.append(s)
+
+    # build tree top-down: nested sets forest
+    tree = Tree(names)
+    accepted.sort(key=len)
+    # start from star tree
+    hub = tree.new_node()
+    attach = {i: hub for i in range(L)}
+    for i in range(L):
+        tree.add_edge(hub, i, 0.01)
+    for s in accepted:
+        leaves = sorted(s)
+        # all these leaves' subtrees currently attach at a common node?
+        nodes = {attach[x] for x in leaves}
+        if len(nodes) != 1:
+            continue
+        par = nodes.pop()
+        nb = tree.new_node()
+        # find the tree nodes adjacent to par leading to each leaf group
+        moved = set()
+        for u in list(tree.adj[par]):
+            under = set(tree.leaves_under(u, par))
+            if under <= s:
+                moved.add(u)
+        if len(moved) < 2 or len(moved) == len(tree.adj[par]):
+            continue
+        for u in moved:
+            lb = tree.get_blen(par, u)
+            tree.remove_edge(par, u)
+            tree.add_edge(nb, u, lb)
+        tree.add_edge(par, nb, 0.01)
+        for x in leaves:
+            attach[x] = nb
+    # resolve multifurcations into binary
+    resolve_multifurcations(tree)
+    return tree
+
+
+def resolve_multifurcations(tree: Tree) -> None:
+    for v in [u for u in list(tree.adj) if not tree.is_leaf(u)]:
+        while len(tree.adj[v]) > 3:
+            a, b = tree.adj[v][0], tree.adj[v][1]
+            la, lb = tree.get_blen(v, a), tree.get_blen(v, b)
+            nb = tree.new_node()
+            tree.remove_edge(v, a)
+            tree.remove_edge(v, b)
+            tree.add_edge(nb, a, la)
+            tree.add_edge(nb, b, lb)
+            tree.add_edge(v, nb, 1e-6)
