@@ -1,0 +1,216 @@
+"""Analysis orchestrator: the runPhyloAnalysis analog.
+
+Reference: main/phyloanalysis.cpp:4103 — load alignment, build/select model,
+start-tree reconstruction, tree search (or fixed-topology evaluation),
+branch supports, report writing; checkpoint-guarded phases throughout.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from iqtree2_tpu.data.alignment import Alignment
+from iqtree2_tpu.engine import LikelihoodEngine
+from iqtree2_tpu.io import report as report_io
+from iqtree2_tpu.io.alignment_io import read_alignment
+from iqtree2_tpu.model.factory import build_model
+from iqtree2_tpu.model.optimize import optimize_model_parameters
+from iqtree2_tpu.params import Params
+from iqtree2_tpu.search.nni import nni_optimize
+from iqtree2_tpu.search.search import SearchParams, TreeSearch
+from iqtree2_tpu.search.ufboot import UFBoot
+from iqtree2_tpu.tree.topology import Tree
+from iqtree2_tpu.utils.checkpoint import Checkpoint
+
+
+class Logger:
+    def __init__(self, path, verbose=1):
+        self.f = open(path, "w") if path else None
+        self.verbose = verbose
+
+    def __call__(self, msg: str) -> None:
+        if self.verbose:
+            print(msg)
+            sys.stdout.flush()
+        if self.f:
+            self.f.write(msg + "\n")
+            self.f.flush()
+
+    def close(self):
+        if self.f:
+            self.f.close()
+
+
+def run_analysis(params: Params) -> dict:
+    """Full single-alignment analysis. Returns a result summary dict."""
+    t_start = time.time()
+    prefix = params.prefix
+    log = Logger(f"{prefix}.log", params.verbose)
+    ckp = Checkpoint(None if params.no_checkpoint else f"{prefix}.ckp.gz")
+    if not params.redo:
+        ckp.load()
+    if ckp.get("finished") and not params.redo:
+        log("Checkpoint indicates a finished run; use redo to restart.")
+
+    import jax.numpy as jnp
+    dtype = jnp.float64 if params.use_f64 else jnp.float32
+
+    log(f"Reading alignment {params.aln_file} ...")
+    aln = read_alignment(params.aln_file, seqtype=params.seqtype)
+    log(f"Alignment: {aln.ntaxa} sequences, {aln.nsites} sites, "
+        f"{aln.num_patterns} patterns ({aln.seqtype.name})")
+
+    # ---------------- model setup / ModelFinder ---------------------------
+    model_selection = None
+    model_str = params.model
+    if model_str.upper() in ("MFP", "TEST", "MF", "TESTONLY"):
+        from iqtree2_tpu.modelfinder import run_modelfinder
+        mf = run_modelfinder(aln, params, log=log, ckp=ckp)
+        model_selection = mf
+        model_str = mf["best"]
+        log(f"Best-fit model: {model_str}")
+        if params.model.upper() in ("MF", "TESTONLY"):
+            elapsed = time.time() - t_start
+            log(f"ModelFinder-only run finished ({elapsed:.2f}s)")
+            return {"model_selection": mf}
+    model, rates, extras = build_model(model_str, aln)
+    eng = LikelihoodEngine(aln, model, rates, dtype=dtype)
+
+    rng = np.random.default_rng(params.seed)
+
+    # ---------------- tree: fixed topology or search ----------------------
+    search_info = {}
+    support = None
+    ufboot = None
+    if params.ufboot_replicates > 0:
+        ufboot = UFBoot(aln, n_replicates=params.ufboot_replicates,
+                        seed=params.seed)
+
+    if params.user_tree:
+        log(f"Reading fixed topology from {params.user_tree}")
+        tree = Tree.from_newick(Path(params.user_tree).read_text(),
+                                aln.names)
+        if params.fix_branch_lengths:
+            # only model parameters
+            fixed_any = model.num_free_params() + rates.num_free_params()
+            if fixed_any:
+                _optimize_model_only(eng, tree, params)
+            logL = eng.loglik_tree(tree)
+        else:
+            logL = optimize_model_parameters(eng, tree,
+                                             epsilon=params.model_eps)
+    else:
+        sp = SearchParams(
+            n_init_trees=params.n_init_trees,
+            n_nni_trees=params.n_nni_trees,
+            pop_size=params.pop_size,
+            pertub_strength=params.pertub_strength,
+            loglh_epsilon=params.loglh_epsilon,
+            seed=params.seed,
+            min_iterations=(params.min_iterations
+                            if params.n_iterations is None
+                            else params.n_iterations),
+            max_iterations=params.max_iterations,
+            unsuccess_iteration=params.unsuccess_iteration,
+            fixed_iterations=params.n_iterations)
+        search = TreeSearch(eng, aln, sp, ufboot=ufboot, log=log)
+        # initial quick model fit on a start tree before searching
+        log("Performing quick initial model optimization...")
+        from iqtree2_tpu.ops.pars import random_stepwise_addition
+        t0 = random_stepwise_addition(aln, rng)
+        optimize_model_parameters(eng, t0, epsilon=max(params.model_eps, 0.1))
+        res = search.run()
+        tree = res.best_tree
+        log(f"Search done: {res.n_iterations} iterations, "
+            f"best logL {res.best_logL:.4f}")
+        search_info["Number of iterations"] = res.n_iterations
+        # final thorough optimization
+        logL = optimize_model_parameters(eng, tree,
+                                         epsilon=params.model_eps)
+
+    # ---------------- supports -------------------------------------------
+    if ufboot is not None:
+        support = ufboot.supports_for(tree)
+        contree = ufboot.consensus_tree()
+        report_io.write_treefile(f"{prefix}.contree", contree)
+        # .ufboot replicate trees
+        with open(f"{prefix}.ufboot", "w") as f:
+            for tid in ufboot.boot_trees:
+                if tid is not None:
+                    f.write(ufboot.trees_newick[tid] + "\n")
+        search_info["UFBoot replicates"] = params.ufboot_replicates
+    if params.alrt_replicates > 0 or params.abayes:
+        from iqtree2_tpu.tests_branch import test_all_branches
+        br = test_all_branches(eng, tree,
+                               n_rell=max(params.alrt_replicates, 1000),
+                               rng=rng,
+                               do_abayes=params.abayes)
+        support = _merge_support(tree, support, br)
+
+    # ---------------- outputs --------------------------------------------
+    report_io.write_treefile(f"{prefix}.treefile", tree, support=support)
+    if params.write_site_lh:
+        _, lp = eng.site_lp(tree)
+        site_lp = lp[aln.site_to_pattern]
+        with open(f"{prefix}.sitelh", "w") as f:
+            f.write(f"1 {aln.nsites}\n")
+            f.write("Site_Lh " +
+                    " ".join(f"{x:.5f}" for x in site_lp) + "\n")
+    elapsed = time.time() - t_start
+    report_io.write_iqtree_report(
+        f"{prefix}.iqtree", params=params, aln=aln, model=model,
+        rates=rates, tree=tree, logL=logL, search_info=search_info,
+        model_selection=model_selection, support=support, elapsed=elapsed)
+    ckp.put("finished", True)
+    ckp.dump(force=True)
+    log(f"Analysis finished in {elapsed:.2f} sec. "
+        f"Best logL: {logL:.4f}")
+    log(f"Results written to {prefix}.iqtree / {prefix}.treefile")
+    log.close()
+    return {"logL": logL, "tree": tree, "model": model, "rates": rates,
+            "support": support, "elapsed": elapsed}
+
+
+def _optimize_model_only(eng, tree, params):
+    from iqtree2_tpu.tree.schedule import build_schedule
+    from iqtree2_tpu.utils.optimize import lbfgsb_minimize
+    model, rates = eng.model, eng.rates
+    sched = build_schedule(tree)
+    x_model = model.get_params()
+    x_rates = rates.get_params()
+    nm = len(x_model)
+    x0 = np.concatenate([x_model, x_rates])
+    if not len(x0):
+        return
+    lo_m, hi_m = model.param_bounds() if nm else (np.zeros(0), np.zeros(0))
+    lo_r, hi_r = rates.param_bounds() if len(x_rates) else \
+        (np.zeros(0), np.zeros(0))
+    lo, hi = np.concatenate([lo_m, lo_r]), np.concatenate([hi_m, hi_r])
+
+    def obj(x):
+        if nm:
+            model.set_params(x[:nm])
+        if len(x) > nm:
+            rates.set_params(x[nm:])
+        eng.refresh_model()
+        return -eng.loglik_sched(sched)
+
+    xb, _ = lbfgsb_minimize(obj, np.clip(x0, lo, hi), lo, hi)
+    obj(xb)
+
+
+def _merge_support(tree, support, branch_tests):
+    """Combine UFBoot percents with aLRT/aBayes into 'aLRT/UFBoot' labels."""
+    out = dict(support or {})
+    for key, vals in branch_tests.items():
+        label = "/".join(f"{v:.3g}" if isinstance(v, float) else str(v)
+                         for v in vals)
+        if key in out:
+            out[key] = f"{label}/{out[key]:g}"
+        else:
+            out[key] = label
+    return out

@@ -1,0 +1,129 @@
+"""Command-line interface mirroring the reference iqtree2 flag surface.
+
+Reference analog: parseArg (utils/tools.cpp:1015) + main dispatch
+(main/main.cpp:2183). Usage:
+
+  python -m iqtree2_tpu -s ALN [-m MODEL] [-te TREE] [-bb 1000] [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from iqtree2_tpu.params import Params
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="iqtree2_tpu",
+        description="TPU-native maximum-likelihood phylogenomics "
+                    "(IQ-TREE 2 capability target)")
+    p.add_argument("-s", dest="aln_file", help="alignment file")
+    p.add_argument("-st", dest="seqtype",
+                   help="sequence type (DNA/AA/BIN/MORPH/CODON)")
+    p.add_argument("-m", dest="model", default="MFP",
+                   help="model string or MFP/TEST/MF")
+    p.add_argument("-p", "-spp", dest="partition_edge_prop",
+                   help="partition file (edge-proportional)")
+    p.add_argument("-q", dest="partition_edge_equal",
+                   help="partition file (edge-linked equal)")
+    p.add_argument("-Q", dest="partition_unlinked",
+                   help="partition file (unlinked/separate)")
+    p.add_argument("-te", dest="user_tree",
+                   help="fixed user topology (evaluate only)")
+    p.add_argument("-t", dest="start_tree", help="starting tree file")
+    p.add_argument("-g", dest="constraint_tree", help="constraint tree")
+    p.add_argument("-pre", "--prefix", dest="out_prefix", default="")
+    p.add_argument("-seed", "--seed", dest="seed", type=int, default=1)
+    p.add_argument("-n", dest="n_iterations", type=int, default=None)
+    p.add_argument("-nstop", dest="unsuccess_iteration", type=int,
+                   default=100)
+    p.add_argument("-ninit", dest="n_init_trees", type=int, default=100)
+    p.add_argument("-ntop", dest="n_nni_trees", type=int, default=20)
+    p.add_argument("-nbest", dest="pop_size", type=int, default=5)
+    p.add_argument("-pers", dest="pertub_strength", type=float, default=0.5)
+    p.add_argument("-bb", "-B", dest="ufboot_replicates", type=int,
+                   default=0, help="ultrafast bootstrap replicates")
+    p.add_argument("-b", dest="standard_bootstrap", type=int, default=0,
+                   help="standard nonparametric bootstrap replicates")
+    p.add_argument("-alrt", dest="alrt_replicates", type=int, default=0)
+    p.add_argument("-abayes", dest="abayes", action="store_true")
+    p.add_argument("-lbp", dest="lbp_replicates", type=int, default=0)
+    p.add_argument("--runs", dest="num_runs", type=int, default=1)
+    p.add_argument("-blfix", dest="fix_branch_lengths",
+                   action="store_true")
+    p.add_argument("-blmin", dest="min_branch_length", type=float,
+                   default=1e-6)
+    p.add_argument("-blmax", dest="max_branch_length", type=float,
+                   default=10.0)
+    p.add_argument("-me", dest="model_eps", type=float, default=0.01)
+    p.add_argument("-redo", "--redo", dest="redo", action="store_true")
+    p.add_argument("-wsl", dest="write_site_lh", action="store_true")
+    p.add_argument("--f64", dest="use_f64", action="store_true",
+                   help="float64 likelihood (parity mode; slower on TPU)")
+    p.add_argument("-nt", "-T", dest="num_threads", default="AUTO",
+                   help="(accepted for compatibility; XLA manages cores)")
+    p.add_argument("--quiet", dest="quiet", action="store_true")
+    p.add_argument("--alisim", dest="alisim", default="",
+                   help="simulate alignments (AliSim analog)")
+    p.add_argument("--length", dest="sim_length", type=int, default=1000)
+    p.add_argument("--num-alignments", dest="sim_num_alignments", type=int,
+                   default=1)
+    return p
+
+
+def params_from_args(args) -> Params:
+    pr = Params()
+    for f in vars(pr):
+        if hasattr(args, f):
+            setattr(pr, f, getattr(args, f))
+    if args.partition_edge_prop:
+        pr.partition_file = args.partition_edge_prop
+        pr.partition_type = "edge-proportional"
+    elif args.partition_edge_equal:
+        pr.partition_file = args.partition_edge_equal
+        pr.partition_type = "edge-equal"
+    elif args.partition_unlinked:
+        pr.partition_file = args.partition_unlinked
+        pr.partition_type = "unlinked"
+    if args.quiet:
+        pr.verbose = 0
+    if not pr.out_prefix:
+        pr.out_prefix = pr.aln_file or pr.partition_file or "iqtree2_tpu"
+    return pr
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    pr = params_from_args(args)
+    if args.alisim:
+        from iqtree2_tpu.simulator import run_alisim
+        run_alisim(pr)
+        return 0
+    if not pr.aln_file and not pr.partition_file:
+        print("error: -s ALIGNMENT is required", file=sys.stderr)
+        return 2
+    if pr.partition_file:
+        from iqtree2_tpu.partition_analysis import run_partition_analysis
+        run_partition_analysis(pr)
+        return 0
+    from iqtree2_tpu.analysis import run_analysis
+    if pr.num_runs > 1:
+        from iqtree2_tpu.analysis import run_analysis
+        best = None
+        for r in range(pr.num_runs):
+            import dataclasses
+            pri = dataclasses.replace(pr, seed=pr.seed + r,
+                                      out_prefix=f"{pr.prefix}.run{r + 1}")
+            res = run_analysis(pri)
+            if best is None or res["logL"] > best["logL"]:
+                best = res
+        print(f"Best of {pr.num_runs} runs: logL {best['logL']:.4f}")
+        return 0
+    run_analysis(pr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

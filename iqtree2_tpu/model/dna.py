@@ -23,28 +23,28 @@ def _reg(names, canonical, code, freq):
 
 
 _reg(["JC", "JC69"], "JC", "000000", "equal")
-_reg(["F81"], "F81", "000000", "estimate")
+_reg(["F81"], "F81", "000000", "empirical")
 _reg(["K2P", "K80"], "K2P", "010010", "equal")
-_reg(["HKY", "HKY85"], "HKY", "010010", "estimate")
+_reg(["HKY", "HKY85"], "HKY", "010010", "empirical")
 _reg(["K3P", "K81", "TPM1"], "K3P", "012210", "equal")
 _reg(["K81UF", "K81U", "K3PU", "K3PUF", "TPM1UF", "TPM1U"], "K3Pu",
-     "012210", "estimate")
-_reg(["TN", "TRN", "TN93"], "TN", "010020", "estimate")
+     "012210", "empirical")
+_reg(["TN", "TRN", "TN93"], "TN", "010020", "empirical")
 _reg(["TNEF", "TRNEF", "TNE", "TRNE"], "TNe", "010020", "equal")
 _reg(["TPM2"], "TPM2", "121020", "equal")
-_reg(["TPM2U", "TPM2UF"], "TPM2u", "121020", "estimate")
+_reg(["TPM2U", "TPM2UF"], "TPM2u", "121020", "empirical")
 _reg(["TPM3"], "TPM3", "120120", "equal")
-_reg(["TPM3U", "TPM3UF"], "TPM3u", "120120", "estimate")
-_reg(["TIM", "TIM1"], "TIM", "012230", "estimate")
+_reg(["TPM3U", "TPM3UF"], "TPM3u", "120120", "empirical")
+_reg(["TIM", "TIM1"], "TIM", "012230", "empirical")
 _reg(["TIMEF", "TIME", "TIM1EF", "TIM1E"], "TIMe", "012230", "equal")
-_reg(["TIM2"], "TIM2", "121030", "estimate")
+_reg(["TIM2"], "TIM2", "121030", "empirical")
 _reg(["TIM2EF", "TIM2E"], "TIM2e", "121030", "equal")
-_reg(["TIM3"], "TIM3", "120130", "estimate")
+_reg(["TIM3"], "TIM3", "120130", "empirical")
 _reg(["TIM3EF", "TIM3E"], "TIM3e", "120130", "equal")
-_reg(["TVM"], "TVM", "412310", "estimate")
+_reg(["TVM"], "TVM", "412310", "empirical")
 _reg(["TVMEF", "TVME"], "TVMe", "412310", "equal")
 _reg(["SYM"], "SYM", "123450", "equal")
-_reg(["GTR", "REV"], "GTR", "123450", "estimate")
+_reg(["GTR", "REV"], "GTR", "123450", "empirical")
 
 
 def make_dna_model(name: str, freqs: np.ndarray | None = None,

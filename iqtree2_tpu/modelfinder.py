@@ -1,0 +1,130 @@
+"""ModelFinder: best-fit model selection over a (model x rate) grid.
+
+Reference analog: runModelFinder (main/phylotesting.cpp:775):
+candidate grid from per-datatype model lists x rate schemes (A4), each
+fitted on a fixed ModelFinder topology (parsimony start tree), scored by
+AIC/AICc/BIC; previous fits reused via checkpoint. TEST = {,+I,+G,+I+G};
+MFP adds +R2..+Rk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from iqtree2_tpu.data.alignment import Alignment
+from iqtree2_tpu.engine import LikelihoodEngine
+from iqtree2_tpu.model.factory import build_model
+from iqtree2_tpu.model.optimize import optimize_model_parameters
+from iqtree2_tpu.ops.pars import random_stepwise_addition
+from iqtree2_tpu.tree.schedule import build_schedule
+
+# reference DNA candidate list (main/phylotesting.cpp:60-124, named subset)
+DNA_MODEL_NAMES = ["JC", "F81", "K2P", "HKY", "TNe", "TN", "K3P", "K3Pu",
+                   "TPM2", "TPM2u", "TPM3", "TPM3u", "TIMe", "TIM",
+                   "TIM2e", "TIM2", "TIM3e", "TIM3", "TVMe", "TVM",
+                   "SYM", "GTR"]
+# protein list (main/phylotesting.cpp:126)
+AA_MODEL_NAMES = ["Dayhoff", "mtREV", "JTT", "WAG", "cpREV", "mtMAM",
+                  "LG", "mtART", "mtZOA", "VT", "rtREV", "DCMut", "PMB",
+                  "HIVb", "HIVw", "JTTDCMut", "FLU", "Blosum62",
+                  "mtMet", "mtVer", "mtInv", "Q.pfam", "Q.bird",
+                  "Q.mammal", "Q.insect", "Q.plant", "Q.yeast"]
+
+
+def rate_schemes(mode: str, max_rk: int = 10) -> list[str]:
+    base = ["", "+I", "+G", "+I+G"]
+    if mode.upper() in ("MFP", "MF"):
+        base = base + [f"+R{k}" for k in range(2, max_rk + 1)]
+    return base
+
+
+def candidate_models(aln: Alignment, mode: str = "MFP") -> list[str]:
+    st = aln.seqtype.name
+    if st == "DNA":
+        bases = DNA_MODEL_NAMES
+    elif st == "AA":
+        bases = AA_MODEL_NAMES
+    elif st == "BIN":
+        bases = ["JC2"]
+    else:
+        bases = ["MK"]
+    out = []
+    for b in bases:
+        for r in rate_schemes(mode):
+            out.append(b + r)
+            if st == "AA":
+                out.append(b + "+F" + r)
+    return out
+
+
+def information_scores(logL: float, df: int, n_sites: int) -> dict:
+    aic = -2 * logL + 2 * df
+    if n_sites - df - 1 > 0:
+        aicc = aic + 2.0 * df * (df + 1) / (n_sites - df - 1)
+    else:
+        aicc = np.inf
+    bic = -2 * logL + df * np.log(n_sites)
+    return {"AIC": aic, "AICc": aicc, "BIC": bic}
+
+
+def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
+                    criterion: str = "BIC", tree=None,
+                    mode: str | None = None) -> dict:
+    """Evaluate the candidate grid on a fixed topology; return best model.
+
+    Lazy +Rk expansion: stop increasing k when BIC worsens
+    (reference: :1307-1330).
+    """
+    import jax.numpy as jnp
+
+    mode = mode or params.model
+    rng = np.random.default_rng(params.seed)
+    if tree is None:
+        tree = random_stepwise_addition(aln, rng)
+    cands = candidate_models(aln, mode)
+    log(f"ModelFinder: testing {len(cands)} candidate models "
+        f"on a fixed parsimony topology...")
+
+    if ckp is not None:
+        ckp.start_struct("ModelFinder")
+    results = []
+    blen_cache = None
+    base_skip: set[str] = set()
+    for name in cands:
+        base = name.split("+")[0]
+        if base in base_skip:
+            continue
+        if ckp is not None and ckp.has(name):
+            entry = ckp.get(name)
+        else:
+            try:
+                model, rates, _ = build_model(name, aln)
+            except ValueError:
+                base_skip.add(base)
+                continue
+            eng = LikelihoodEngine(aln, model, rates, dtype=jnp.float32)
+            t = tree.copy()
+            if blen_cache is not None:
+                for k, v in blen_cache.items():
+                    if k in t.blen:
+                        t.blen[k] = v
+            logL = optimize_model_parameters(
+                eng, t, epsilon=max(params.model_eps, 0.1), max_rounds=3,
+                blen_rounds=4)
+            blen_cache = dict(t.blen)
+            df = (model.num_free_params() + rates.num_free_params()
+                  + t.num_edges())
+            entry = {"name": name, "logL": float(logL), "df": int(df)}
+            entry.update(information_scores(logL, df, aln.nsites))
+            if ckp is not None:
+                ckp.put(name, entry)
+                ckp.dump()
+        results.append(entry)
+        log(f"  {entry['name']:<18} logL {entry['logL']:.3f}  "
+            f"BIC {entry['BIC']:.3f}")
+    if ckp is not None:
+        ckp.end_struct()
+
+    results.sort(key=lambda e: e[criterion])
+    best = results[0]["name"]
+    return {"best": best, "criterion": criterion, "table": results}

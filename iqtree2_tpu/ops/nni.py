@@ -80,12 +80,14 @@ def build_nni_candidates(tree: Tree, sched: TreeSchedule) -> NNICandidates:
                          nodes_u, nodes_v)
 
 
-@functools.partial(jax.jit, static_argnames=("n_newton",))
+@functools.partial(jax.jit, static_argnames=("n_newton", "return_site_lp"))
 def evaluate_nnis(cand_arrays, blens, dp_msgs, dp_msg_scale, up_in, up_scale,
-                  pack, pattern_weights, t_min, t_max, n_newton: int = 4):
+                  pack, pattern_weights, t_min, t_max, n_newton: int = 4,
+                  return_site_lp: bool = False):
     """Score both NNI variants (and the no-swap baseline) for all candidate
     edges at once. Returns (logl [n,3], t_opt [n,3]) where column 2 is the
-    re-optimized current topology (baseline)."""
+    re-optimized current topology (baseline). With return_site_lp, also
+    returns per-pattern log-likelihoods [n, 3, Ppat] (for SH-aLRT RELL)."""
     iu, iv, sa, sb, sc_, hc2, sc2, eid = cand_arrays
     log_ptn_invar = pack["log_ptn_invar"]
 
@@ -121,11 +123,19 @@ def evaluate_nnis(cand_arrays, blens, dp_msgs, dp_msg_scale, up_in, up_scale,
             logl, _, _ = pruning.branch_lh_derivs(
                 theta, scale, t_opt, pack, log_ptn_invar, pattern_weights,
                 order=0)
-            return logl, t_opt
+            if return_site_lp:
+                lp = pruning.branch_site_lp(theta, scale, t_opt, pack,
+                                            log_ptn_invar)
+            else:
+                lp = jnp.zeros((0,), theta.dtype)
+            return logl, t_opt, lp
 
-        l0, tt0 = score(m_a * m_c, s_a + s_c, rest * m_b, s_rest + s_b)
-        l1, tt1 = score(m_b * m_c, s_b + s_c, rest * m_a, s_rest + s_a)
-        l2, tt2 = score(m_a * m_b, s_a + s_b, rest * m_c, s_rest + s_c)
-        return jnp.stack([l0, l1, l2]), jnp.stack([tt0, tt1, tt2])
+        l0, tt0, p0 = score(m_a * m_c, s_a + s_c, rest * m_b, s_rest + s_b)
+        l1, tt1, p1 = score(m_b * m_c, s_b + s_c, rest * m_a, s_rest + s_a)
+        l2, tt2, p2 = score(m_a * m_b, s_a + s_b, rest * m_c, s_rest + s_c)
+        out = (jnp.stack([l0, l1, l2]), jnp.stack([tt0, tt1, tt2]))
+        if return_site_lp:
+            return out + (jnp.stack([p0, p1, p2]),)
+        return out
 
     return jax.vmap(one)(iu, iv, sa, sb, sc_, hc2, sc2, eid)

@@ -84,8 +84,10 @@ def random_stepwise_addition(aln: Alignment, rng: np.random.Generator,
         tree.add_edge(hub, x, 0.1)
 
     for leaf in reversed(order):
-        # Fitch down+up sets for the current tree, per edge
-        root = tree._default_root()
+        # Fitch down+up sets for the current tree, per edge.
+        # Root at the hub: the partial tree may not contain leaf 0 yet,
+        # so Tree._default_root() is not usable here.
+        root = hub
         sets: dict[int, np.ndarray] = {}
         post = list(tree.postorder(root))
         for v, p in post:

@@ -153,10 +153,12 @@ def down_pass(P, tipP, child_ptr, child_is_leaf, child_edge, child_valid,
 
 
 def root_loglik(Broot, SCroot, root_freqs, cat_weight, log_ptn_invar,
-                pattern_weights):
+                pattern_weights, axis_name: str | None = None):
     """Site log-likelihoods + total logL from the root partials.
 
-    Returns (logL, site_lp[Ppat]).
+    Returns (logL, site_lp[Ppat]). When the pattern axis is sharded over a
+    mesh axis, pass its name: the pattern-sum becomes a psum over ICI
+    (site sharding is embarrassingly parallel — SURVEY §5).
     """
     dtype = Broot.dtype
     _, _, log_rescale = scaling_consts(dtype)
@@ -167,10 +169,13 @@ def root_loglik(Broot, SCroot, root_freqs, cat_weight, log_ptn_invar,
         - SCroot.astype(dtype) * jnp.asarray(log_rescale, dtype)
     lp = jnp.logaddexp(lp, log_ptn_invar)
     logL = jnp.sum(pattern_weights * lp)
+    if axis_name is not None:
+        logL = jax.lax.psum(logL, axis_name)
     return logL, lp
 
 
-def tree_loglik(blens, tipP, sched, pack, pattern_weights):
+def tree_loglik(blens, tipP, sched, pack, pattern_weights,
+                axis_name: str | None = None):
     """Full tree log-likelihood in one call.
 
     sched: dict of device schedule arrays; pack: dict of model arrays
@@ -182,7 +187,7 @@ def tree_loglik(blens, tipP, sched, pack, pattern_weights):
                    keep_msgs=False)
     return root_loglik(dp.partials[-1], dp.scale[-1], pack["root_freqs"],
                        pack["cat_weight"], pack["log_ptn_invar"],
-                       pattern_weights)
+                       pattern_weights, axis_name=axis_name)
 
 
 # ------------------------------------------------------------------ up pass
@@ -302,7 +307,7 @@ def edge_thetas(up: UpPass, dp: DownPass, tipP, child_ptr, child_is_leaf,
 
 
 def branch_lh_derivs(theta, scale, t, pack, log_ptn_invar, pattern_weights,
-                     order: int = 2):
+                     order: int = 2, axis_name: str | None = None):
     """logL(t) of one branch from its theta buffer, with d/dt and d2/dt2.
 
     theta: [C, K, Ppat]; scale: [Ppat]; t scalar. Returns (logL, d1, d2).
@@ -323,6 +328,8 @@ def branch_lh_derivs(theta, scale, t, pack, log_ptn_invar, pattern_weights,
     lp = jnp.log(jnp.maximum(site0, tiny)) - sc
     lp = jnp.logaddexp(lp, log_ptn_invar)
     logL = jnp.sum(pattern_weights * lp)
+    if axis_name is not None:
+        logL = jax.lax.psum(logL, axis_name)
     if order == 0:
         return logL, None, None
     site1 = jnp.einsum("ckp,ck->p", theta, wet * lr, precision=HIGHEST)
@@ -335,18 +342,38 @@ def branch_lh_derivs(theta, scale, t, pack, log_ptn_invar, pattern_weights,
     d2p = site2 / denom - d1p * d1p
     d1 = jnp.sum(pattern_weights * d1p)
     d2 = jnp.sum(pattern_weights * d2p)
+    if axis_name is not None:
+        d1 = jax.lax.psum(d1, axis_name)
+        d2 = jax.lax.psum(d2, axis_name)
     return logL, d1, d2
 
 
+def branch_site_lp(theta, scale, t, pack, log_ptn_invar):
+    """Per-pattern log-likelihood of one branch configuration from its
+    theta buffer (for SH-aLRT / RELL resampling of NNI alternatives)."""
+    dtype = theta.dtype
+    _, _, log_rescale = scaling_consts(dtype)
+    lam = pack["eigvals"][pack["cat_mix"]]
+    lr = lam * pack["cat_rate"][:, None]
+    wet = pack["cat_weight"][:, None] * jnp.exp(lr * t)
+    site0 = jnp.maximum(
+        jnp.einsum("ckp,ck->p", theta, wet, precision=HIGHEST), 0.0)
+    sc = scale.astype(dtype) * jnp.asarray(log_rescale, dtype)
+    tiny = jnp.finfo(dtype).tiny
+    lp = jnp.log(jnp.maximum(site0, tiny)) - sc
+    return jnp.logaddexp(lp, log_ptn_invar)
+
+
 def newton_branch_step(theta, scale, t0, pack, log_ptn_invar,
-                       pattern_weights, t_min, t_max, n_iter: int = 4):
+                       pattern_weights, t_min, t_max, n_iter: int = 4,
+                       axis_name: str | None = None):
     """A few bounded Newton iterations on one branch length (vmapped over
     edges by the caller). Mirrors minimizeNewton (utils/optimization.cpp:422):
     fall back to stepping toward a bound when curvature is wrong.
     """
     def one(i, t):
         _, d1, d2 = branch_lh_derivs(theta, scale, t, pack, log_ptn_invar,
-                                     pattern_weights)
+                                     pattern_weights, axis_name=axis_name)
         newton_t = t - d1 / d2
         bad = (d2 >= 0) | ~jnp.isfinite(newton_t)
         # wrong curvature: move in gradient direction geometrically

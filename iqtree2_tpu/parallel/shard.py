@@ -1,0 +1,117 @@
+"""Site-sharded likelihood over a device mesh.
+
+Design (SURVEY §2c / §5): alignment *site patterns* are the data-parallel
+axis. Each device holds a pattern shard of the tip partials and pattern
+weights; the pruning recursion runs independently per shard (site
+likelihoods are independent given the tree — no halo exchange), and the only
+cross-device communication is a psum of logL and branch-derivative scalars
+over ICI. This goes beyond the reference, whose MPI ranks each hold the
+whole alignment (main/main.cpp:2506 — MPI only parallelizes search).
+
+The mesh axis is named "sites". Model pack and topology schedule are
+replicated; branch lengths are replicated (updated identically everywhere
+from psum'd derivatives, like the reference's synchronized controllers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from iqtree2_tpu.ops import pruning
+
+AXIS = "sites"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def pad_patterns_for_mesh(n_patterns: int, n_shards: int,
+                          lane: int = 128) -> int:
+    """Pattern count padded so each shard is a multiple of `lane`."""
+    per = -(-n_patterns // n_shards)
+    per = -(-per // lane) * lane
+    return per * n_shards
+
+
+def sharded_loglik_fn(mesh: Mesh):
+    """Returns a jitted fn(blens, tipP, sched, pack, pattern_weights) with
+    tipP/pattern_weights sharded on the pattern axis."""
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(None, None, AXIS), P(), _pack_specs(), P(AXIS)),
+        out_specs=(P(), P(AXIS)),
+        check_vma=False)
+    def fn(blens, tipP, sched, pack, pw):
+        pack = dict(pack, log_ptn_invar=pack["log_ptn_invar"])
+        logL, lp = pruning.tree_loglik(blens, tipP, sched, pack, pw,
+                                       axis_name=AXIS)
+        return logL, lp
+
+    return jax.jit(fn)
+
+
+def _pack_specs():
+    # all pack arrays replicated except log_ptn_invar (per-pattern)
+    return {
+        "eigvals": P(), "U": P(), "V": P(), "W": P(), "sqrt_freqs": P(),
+        "cat_rate": P(), "cat_weight": P(), "cat_mix": P(),
+        "root_freqs": P(), "log_ptn_invar": P(AXIS),
+    }
+
+
+def sharded_optimize_step_fn(mesh: Mesh, n_newton: int = 4):
+    """One full sharded branch-optimization round: down+up passes on each
+    shard, per-edge Newton with psum'd derivatives, returns (blens, logL).
+
+    This is the multi-chip "training step": all heavy tensors live sharded;
+    only O(n_edges) scalars cross chips per Newton iteration.
+    """
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(None, None, AXIS), P(), _pack_specs(), P(AXIS),
+                  P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def step(blens, tipP, sched, pack, pw, t_min, t_max):
+        dtype = tipP.dtype
+        Pm = pruning.transition_tensors(blens.astype(dtype), pack)
+        dp = pruning.down_pass(Pm, tipP, sched["child_ptr"],
+                               sched["child_is_leaf"], sched["child_edge"],
+                               sched["child_valid"], keep_msgs=True)
+        up = pruning.up_pass(Pm, dp, sched["child_ptr"],
+                             sched["child_is_leaf"], sched["child_edge"],
+                             sched["child_valid"], pack["root_freqs"])
+        th = pruning.edge_thetas(up, dp, tipP, sched["child_ptr"],
+                                 sched["child_is_leaf"],
+                                 sched["child_valid"], pack)
+        newton = jax.vmap(
+            lambda t_e, th_e, sc_e: pruning.newton_branch_step(
+                th_e, sc_e, t_e, pack, pack["log_ptn_invar"], pw,
+                t_min, t_max, n_iter=n_newton, axis_name=AXIS))
+        new_blens = jnp.clip(
+            newton(blens.astype(dtype), th.theta, th.scale), t_min, t_max)
+        logL, _ = pruning.tree_loglik(new_blens, tipP, sched, pack, pw,
+                                      axis_name=AXIS)
+        return new_blens, logL
+
+    return jax.jit(step)
+
+
+def shard_engine_arrays(mesh: Mesh, tipP, pattern_weights, log_ptn_invar):
+    """Place the per-pattern arrays on the mesh with pattern sharding."""
+    s3 = NamedSharding(mesh, P(None, None, AXIS))
+    s1 = NamedSharding(mesh, P(AXIS))
+    return (jax.device_put(tipP, s3), jax.device_put(pattern_weights, s1),
+            jax.device_put(log_ptn_invar, s1))

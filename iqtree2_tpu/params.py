@@ -1,0 +1,57 @@
+"""Run configuration (the reference's Params struct, utils/tools.h:595,
+reduced to the supported surface; defaults follow SURVEY A12)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class Params:
+    # input
+    aln_file: str = ""
+    seqtype: str | None = None        # -st
+    partition_file: str = ""          # -p/-q/-spp
+    partition_type: str = "edge-linked"  # -p: proportional, -q: equal, -Q
+    user_tree: str = ""               # -te (fixed topology) / -t (start)
+    start_tree: str = ""              # -t
+    constraint_tree: str = ""         # -g
+    out_prefix: str = ""              # -pre
+    model: str = "MFP"                # -m
+    # search
+    seed: int = 1                     # -seed
+    n_iterations: int | None = None   # -n
+    min_iterations: int = 100
+    max_iterations: int = 1000
+    unsuccess_iteration: int = 100    # -nstop
+    n_init_trees: int = 100           # -ninit
+    n_nni_trees: int = 20             # -ntop
+    pop_size: int = 5                 # -nbest
+    pertub_strength: float = 0.5      # -pers
+    loglh_epsilon: float = 0.001
+    model_eps: float = 0.01           # -me
+    fix_branch_lengths: bool = False  # -blfix
+    # bootstrap / tests
+    ufboot_replicates: int = 0        # -bb/-B
+    standard_bootstrap: int = 0       # -b
+    alrt_replicates: int = 0          # -alrt
+    abayes: bool = False              # -abayes
+    lbp_replicates: int = 0           # -lbp
+    num_runs: int = 1                 # --runs
+    # numerics
+    min_branch_length: float = 1e-6   # -blmin
+    max_branch_length: float = 10.0   # -blmax
+    use_f64: bool = False             # --f64 (parity mode)
+    # control
+    redo: bool = False
+    no_checkpoint: bool = False
+    verbose: int = 1
+    write_site_lh: bool = False       # -wsl
+    # simulation (AliSim)
+    alisim: str = ""                  # --alisim output prefix
+    sim_length: int = 1000
+    sim_num_alignments: int = 1
+
+    @property
+    def prefix(self) -> str:
+        return self.out_prefix or self.aln_file or "iqtree2_tpu"

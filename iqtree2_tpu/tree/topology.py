@@ -309,7 +309,9 @@ class Tree:
                 if support is not None and p != -1:
                     key = self._key(v, p)
                     if key in support:
-                        buf.write(f"{support[key]:g}")
+                        val = support[key]
+                        buf.write(f"{val:g}" if isinstance(val, float)
+                                  else str(val))
 
         import sys
         old = sys.getrecursionlimit()

@@ -2,7 +2,9 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh (the driver validates multi-chip
 # sharding separately via __graft_entry__.dryrun_multichip on real shapes).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU (the external environment pins JAX_PLATFORMS to the real chip;
+# correctness tests want the virtual mesh + float64).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

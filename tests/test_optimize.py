@@ -1,0 +1,72 @@
+"""Model-parameter optimization and NNI search vs reference golden values."""
+
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iqtree2_tpu.engine import LikelihoodEngine
+from iqtree2_tpu.io.alignment_io import read_alignment
+from iqtree2_tpu.model.dna import make_dna_model
+from iqtree2_tpu.model.factory import build_model
+from iqtree2_tpu.model.optimize import optimize_model_parameters
+from iqtree2_tpu.model.rates import RateGamma
+from iqtree2_tpu.search.nni import nni_optimize
+from iqtree2_tpu.tree.topology import Tree
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+@pytest.fixture(scope="module")
+def example_aln():
+    return read_alignment(GOLDEN / "example.phy", seqtype="DNA")
+
+
+@pytest.fixture(scope="module")
+def ref_tree(example_aln):
+    return Tree.from_newick((GOLDEN / "ref_tree.nwk").read_text(),
+                            example_aln.names)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return json.loads((GOLDEN / "golden.json").read_text())
+
+
+def test_model_factory_parses():
+    aln = read_alignment(GOLDEN / "example.phy", seqtype="DNA")
+    for s in ["GTR+G", "HKY+I+G4", "JC", "GTR{1.0,2.0,1.5,0.8,3.0}+F+R3",
+              "TN+I", "K2P+G{0.5}"]:
+        model, rates, _ = build_model(s, aln)
+        assert model.num_states == 4
+
+
+def test_gtr_g_optimization_matches_reference(example_aln, ref_tree, golden):
+    """g4: GTR+G free params + branch lengths on the reference topology.
+
+    Reference logL: -21161.9433 (g4_gtrg_opt).
+    """
+    model, rates, _ = build_model("GTR+G", example_aln)
+    eng = LikelihoodEngine(example_aln, model, rates, dtype=jnp.float64)
+    t = ref_tree.copy()
+    logL = optimize_model_parameters(eng, t, epsilon=0.01)
+    assert logL == pytest.approx(golden["logL"]["g4_gtrg_opt"], abs=0.5)
+
+
+def test_nni_search_from_bionj(example_aln, golden):
+    """NNI hill-climbing from a BIONJ start should reach (or beat) the
+    reference HKY search logL (g0: -23117.03)."""
+    from iqtree2_tpu.ops.distances import ml_distances
+    from iqtree2_tpu.search.bionj import bionj_tree
+
+    model, rates, _ = build_model("HKY", example_aln)
+    eng = LikelihoodEngine(example_aln, model, rates, dtype=jnp.float64)
+    D = ml_distances(example_aln, model, dtype=jnp.float64)
+    t = bionj_tree(D, example_aln.names)
+    t.clamp_blens(1e-6, 10.0)
+    res = nni_optimize(eng, t)
+    # model params (kappa, freqs) still at empirical init; optimize them
+    logL = optimize_model_parameters(eng, t, epsilon=0.01)
+    assert logL >= golden["logL"]["g0_search"] - 1.0
