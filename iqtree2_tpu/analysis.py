@@ -151,6 +151,24 @@ def run_analysis(params: Params) -> dict:
                                do_abayes=params.abayes)
         support = _merge_support(tree, support, br)
 
+    # ---------------- user-tree topology tests ---------------------------
+    tree_tests = None
+    if params.user_trees_file:
+        from iqtree2_tpu.treetesting import (format_treetest_table,
+                                             run_tree_tests)
+        log(f"Evaluating user trees from {params.user_trees_file} "
+            f"({params.topo_test_replicates} RELL replicates"
+            f"{', AU test' if params.do_au_test else ''})...")
+        trees_z = _read_tree_set(params.user_trees_file, aln.names)
+        res_z, opt_z = run_tree_tests(eng, trees_z, params, log=log)
+        tree_tests = format_treetest_table(res_z)
+        with open(f"{prefix}.trees", "w") as f:
+            for t in opt_z:
+                f.write(t.to_newick() + "\n")
+        with open(f"{prefix}.treelh", "w") as f:
+            for v in res_z.logL:
+                f.write(f"{v:.6f}\n")
+
     # ---------------- outputs --------------------------------------------
     report_io.write_treefile(f"{prefix}.treefile", tree, support=support)
     if params.write_site_lh:
@@ -160,11 +178,34 @@ def run_analysis(params: Params) -> dict:
             f.write(f"1 {aln.nsites}\n")
             f.write("Site_Lh " +
                     " ".join(f"{x:.5f}" for x in site_lp) + "\n")
+    if params.write_site_rate:
+        mean_rate, cat_post = eng.site_rate_posterior(tree)
+        cat_best = cat_post.argmax(axis=0)
+        with open(f"{prefix}.rate", "w") as f:
+            f.write("# Site-specific posterior mean rates (empirical "
+                    "Bayes)\nSite\tRate\tCategory\n")
+            for s in range(aln.nsites):
+                p = aln.site_to_pattern[s]
+                f.write(f"{s + 1}\t{mean_rate[p]:.5f}\t"
+                        f"{cat_best[p] + 1}\n")
+    if params.do_asr:
+        _write_asr(f"{prefix}.state", eng, tree, aln)
+        log(f"Ancestral states written to {prefix}.state")
+    if params.write_ml_dist:
+        from iqtree2_tpu.ops.distances import ml_distances
+        D = ml_distances(aln, eng.model, dtype=eng.dtype)
+        with open(f"{prefix}.mldist", "w") as f:
+            f.write(f"{aln.ntaxa}\n")
+            for i, n in enumerate(aln.names):
+                f.write(f"{n:<12}" +
+                        " ".join(f"{D[i, j]:.6f}"
+                                 for j in range(aln.ntaxa)) + "\n")
     elapsed = time.time() - t_start
     report_io.write_iqtree_report(
         f"{prefix}.iqtree", params=params, aln=aln, model=model,
         rates=rates, tree=tree, logL=logL, search_info=search_info,
-        model_selection=model_selection, support=support, elapsed=elapsed)
+        model_selection=model_selection, support=support, elapsed=elapsed,
+        tree_tests=tree_tests)
     ckp.put("finished", True)
     ckp.dump(force=True)
     log(f"Analysis finished in {elapsed:.2f} sec. "
@@ -173,6 +214,102 @@ def run_analysis(params: Params) -> dict:
     log.close()
     return {"logL": logL, "tree": tree, "model": model, "rates": rates,
             "support": support, "elapsed": elapsed}
+
+
+def run_standard_bootstrap(params: Params) -> dict:
+    """Classic non-parametric bootstrap (-b N): N full tree reconstructions
+    on resampled alignments; supports = split frequencies mapped onto the
+    ML tree of the original alignment. Reference analog:
+    runStandardBootstrap (main/phyloanalysis.cpp:3425)."""
+    import dataclasses
+
+    from iqtree2_tpu.search.ufboot import greedy_consensus
+
+    prefix = params.prefix
+    n_boot = params.standard_bootstrap
+    base = dataclasses.replace(params, standard_bootstrap=0)
+    log = Logger(None, params.verbose)
+
+    # original ML analysis
+    res = run_analysis(base)
+    tree = res["tree"]
+    aln = read_alignment(params.aln_file, seqtype=params.seqtype)
+    rng = np.random.default_rng(params.seed ^ 0xB00)
+
+    from collections import Counter
+    split_counts: Counter = Counter()
+    boot_trees = []
+    from iqtree2_tpu.io.alignment_io import write_phylip
+    import tempfile
+    for b in range(n_boot):
+        log(f"===> START BOOTSTRAP REPLICATE {b + 1}/{n_boot}")
+        baln = aln.bootstrap_alignment(rng)
+        with tempfile.TemporaryDirectory() as td:
+            bfile = f"{td}/boot{b}.phy"
+            write_phylip(baln, bfile)
+            bp = dataclasses.replace(
+                base, aln_file=bfile, out_prefix=f"{td}/boot{b}",
+                seed=params.seed + 1000 + b, verbose=0,
+                no_checkpoint=True,
+                n_iterations=(params.n_iterations
+                              if params.n_iterations is not None else None))
+            bres = run_analysis(bp)
+        bt = bres["tree"]
+        boot_trees.append(bt.to_newick())
+        for s in bt.splits().keys():
+            split_counts[s] += 1
+    with open(f"{prefix}.boottrees", "w") as f:
+        f.write("\n".join(boot_trees) + "\n")
+
+    support = {}
+    for s, (a_, b_) in tree.splits().items():
+        support[tree._key(a_, b_)] = round(
+            100.0 * split_counts.get(s, 0) / n_boot)
+    report_io.write_treefile(f"{prefix}.treefile", tree, support=support)
+    contree = greedy_consensus(
+        {s: c / n_boot for s, c in split_counts.items()}, aln.names)
+    report_io.write_treefile(f"{prefix}.contree", contree)
+    log(f"Standard bootstrap done: {n_boot} replicates "
+        f"-> {prefix}.boottrees, supports on {prefix}.treefile")
+    return {"tree": tree, "support": support, "boot_trees": boot_trees}
+
+
+def _read_tree_set(path, names) -> list:
+    """Read a set of Newick trees (one per line, or a NEXUS trees block)."""
+    text = Path(path).read_text()
+    trees = []
+    if text.lstrip().upper().startswith("#NEXUS"):
+        from iqtree2_tpu.io.nexus import parse_nexus
+        nx = parse_nexus(text)
+        for _, nwk in nx.trees:
+            trees.append(Tree.from_newick(nwk, names))
+    else:
+        for ln in text.splitlines():
+            ln = ln.strip()
+            if ln:
+                trees.append(Tree.from_newick(ln, names))
+    return trees
+
+
+def _write_asr(path, eng, tree, aln) -> None:
+    """Write marginal ancestral state posteriors (.state file; reference
+    output of -asr, SURVEY A10)."""
+    post, node_ids, sched = eng.ancestral_posteriors(tree)
+    chars = aln.seqtype.state_chars[: aln.num_states]
+    s2p = aln.site_to_pattern
+    with open(path, "w") as f:
+        f.write("# Ancestral state reconstruction (marginal posteriors)\n")
+        f.write("Node\tSite\tState\t" +
+                "\t".join(f"p_{c}" for c in chars) + "\n")
+        for i, node in enumerate(node_ids):
+            name = f"Node{node}"
+            pp = post[i]  # [S, P]
+            best = pp.argmax(axis=0)
+            for s in range(aln.nsites):
+                p = s2p[s]
+                probs = "\t".join(f"{pp[x, p]:.5f}"
+                                  for x in range(len(chars)))
+                f.write(f"{name}\t{s + 1}\t{chars[best[p]]}\t{probs}\n")
 
 
 def _optimize_model_only(eng, tree, params):

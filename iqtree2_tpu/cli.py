@@ -60,6 +60,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-me", dest="model_eps", type=float, default=0.01)
     p.add_argument("-redo", "--redo", dest="redo", action="store_true")
     p.add_argument("-wsl", dest="write_site_lh", action="store_true")
+    p.add_argument("-wsr", dest="write_site_rate", action="store_true",
+                   help="write per-site posterior mean rates (.rate)")
+    p.add_argument("-z", dest="user_trees_file", default="",
+                   help="evaluate a set of user trees (topology tests)")
+    p.add_argument("-zb", dest="topo_test_replicates", type=int,
+                   default=10000, help="RELL replicates for -z tests")
+    p.add_argument("-au", dest="do_au_test", action="store_true",
+                   help="perform the approximately-unbiased (AU) test")
+    p.add_argument("-asr", dest="do_asr", action="store_true",
+                   help="ancestral state reconstruction (.state)")
+    p.add_argument("-mldist", dest="write_ml_dist", action="store_true",
+                   help="write ML pairwise distances (.mldist)")
     p.add_argument("--f64", dest="use_f64", action="store_true",
                    help="float64 likelihood (parity mode; slower on TPU)")
     p.add_argument("-nt", "-T", dest="num_threads", default="AUTO",
@@ -109,6 +121,10 @@ def main(argv=None) -> int:
         run_partition_analysis(pr)
         return 0
     from iqtree2_tpu.analysis import run_analysis
+    if pr.standard_bootstrap > 0:
+        from iqtree2_tpu.analysis import run_standard_bootstrap
+        run_standard_bootstrap(pr)
+        return 0
     if pr.num_runs > 1:
         from iqtree2_tpu.analysis import run_analysis
         best = None

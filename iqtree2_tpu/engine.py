@@ -116,6 +116,39 @@ def _passes_jit(blens, tipP, sched, pack, pattern_weights):
     return dp, up, logL
 
 
+HIGHEST_P = jax.lax.Precision.HIGHEST
+
+
+@jax.jit
+def _asr_jit(blens, tipP, sched, pack, pattern_weights):
+    """Marginal ancestral-state posteriors at every internal node, plus the
+    per-pattern rate-category posterior at the root.
+
+    Reference analog: computeMarginalAncestralState (tree/phylotree.h:1069):
+    posterior(node, state) ∝ Σ_c w_c · down(node,c,s,p) · up(node,c,s,p).
+    """
+    dtype = tipP.dtype
+    P = pruning.transition_tensors(blens.astype(dtype), pack)
+    dp = pruning.down_pass(P, tipP, sched["child_ptr"],
+                           sched["child_is_leaf"], sched["child_edge"],
+                           sched["child_valid"], keep_msgs=True)
+    up = pruning.up_pass(P, dp, sched["child_ptr"], sched["child_is_leaf"],
+                         sched["child_edge"], sched["child_valid"],
+                         pack["root_freqs"])
+    w = pack["cat_weight"]
+    joint = dp.partials * up.up_in                     # [n_int, C, S, Pp]
+    post = jnp.einsum("c,ncsp->nsp", w, joint, precision=HIGHEST_P)
+    post = post / jnp.maximum(post.sum(axis=1, keepdims=True),
+                              jnp.finfo(dtype).tiny)
+    # rate-category posterior at the root (for .rate site rates)
+    lh_cat = jnp.einsum("cx,cxp->cp", pack["root_freqs"], dp.partials[-1],
+                        precision=HIGHEST_P)
+    cat_post = w[:, None] * lh_cat
+    cat_post = cat_post / jnp.maximum(cat_post.sum(axis=0, keepdims=True),
+                                      jnp.finfo(dtype).tiny)
+    return post, cat_post
+
+
 class LikelihoodEngine:
     def __init__(self, aln: Alignment, model, rates, dtype=jnp.float32,
                  pattern_pad: int = 128):
@@ -200,6 +233,54 @@ class LikelihoodEngine:
                                    self.schedule_arrays(sched),
                                    self._dev_pack, self._dev_pw)
         return dp, up, float(logL)
+
+    def ancestral_posteriors(self, tree: Tree):
+        """(posteriors [n_int, S, P], postorder internal node ids, sched).
+
+        Marginal ASR (reference: -asr, SURVEY A10)."""
+        sched = build_schedule(tree)
+        post, _ = _asr_jit(jnp.asarray(sched.blens, self.dtype),
+                           self._dev_tipP, self.schedule_arrays(sched),
+                           self._dev_pack, self._dev_pw)
+        P = self.aln.num_patterns
+        return (np.asarray(post)[:, :, :P], list(sched.postorder_nodes),
+                sched)
+
+    def site_rate_posterior(self, tree: Tree):
+        """(mean posterior rate per pattern [P], category posterior [C, P]).
+
+        Reference analog: the .rate output (empirical Bayes site rates)."""
+        sched = build_schedule(tree)
+        _, cat_post = _asr_jit(jnp.asarray(sched.blens, self.dtype),
+                               self._dev_tipP, self.schedule_arrays(sched),
+                               self._dev_pack, self._dev_pw)
+        P = self.aln.num_patterns
+        cat_post = np.asarray(cat_post)[:, :P]
+        rates = np.asarray(self.pack_np.cat_rate)
+        mean_rate = rates @ cat_post
+        return mean_rate, cat_post
+
+    def evaluate_nni_batch(self, sched, cand_arrays,
+                           t_min: float = DEFAULT_MIN_BLEN,
+                           t_max: float = DEFAULT_MAX_BLEN,
+                           return_site_lp: bool = False):
+        """Score all NNI candidates (both variants + baseline) in one jitted
+        batch. Returns (logl [n,3], t_opt [n,3]) numpy arrays; with
+        return_site_lp also the per-pattern logLs [n, 3, num_patterns]."""
+        from iqtree2_tpu.ops.nni import evaluate_nnis
+        dp, up, _ = self.compute_passes(sched)
+        out = evaluate_nnis(
+            cand_arrays, jnp.asarray(sched.blens, self.dtype),
+            dp.msgs, dp.msg_scale, up.up_in, up.up_scale,
+            self._dev_pack, self._dev_pw,
+            jnp.asarray(t_min, self.dtype), jnp.asarray(t_max, self.dtype),
+            return_site_lp=return_site_lp)
+        if return_site_lp:
+            logl, t_opt, lp = out
+            return (np.asarray(logl), np.asarray(t_opt),
+                    np.asarray(lp)[:, :, : self.aln.num_patterns])
+        logl, t_opt = out
+        return np.asarray(logl), np.asarray(t_opt)
 
     def optimize_branches(self, tree: Tree, n_rounds: int = 10,
                           n_newton: int = 4,

@@ -44,8 +44,12 @@ def pair_frequency_tables(aln: Alignment) -> tuple[np.ndarray, np.ndarray]:
     return F, np.asarray(pairs, dtype=np.int32)
 
 
-def hamming_jc_distances(aln: Alignment) -> np.ndarray:
+def hamming_jc_distances(aln) -> np.ndarray:
     """[L, L] JC-corrected observed distances (fast init / fallback)."""
+    if hasattr(aln, "partitions"):  # SuperAlignment: site-weighted average
+        w = np.array([p.nsites for p in aln.partitions], np.float64)
+        Ds = [hamming_jc_distances(p) for p in aln.partitions]
+        return np.tensordot(w / w.sum(), np.stack(Ds), axes=1)
     codes = aln.tip_codes()
     tbl = aln.seqtype.tip_table
     S = aln.num_states

@@ -16,8 +16,14 @@ from iqtree2_tpu.data.alignment import Alignment
 from iqtree2_tpu.tree.topology import Tree
 
 
-def state_bitmasks(aln: Alignment) -> np.ndarray:
-    """[ntaxa, patterns] uint64 bitmask of compatible states per tip."""
+def state_bitmasks(aln) -> np.ndarray:
+    """[ntaxa, patterns] uint64 bitmask of compatible states per tip.
+
+    SuperAlignments concatenate per-partition masks along the pattern axis
+    (bitmask width is per-column, so mixed state counts coexist)."""
+    if hasattr(aln, "partitions"):  # SuperAlignment
+        return np.concatenate([state_bitmasks(p) for p in aln.partitions],
+                              axis=1)
     tbl = aln.seqtype.tip_table  # [codes, S]
     S = aln.num_states
     if S > 64:

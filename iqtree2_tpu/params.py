@@ -42,6 +42,13 @@ class Params:
     min_branch_length: float = 1e-6   # -blmin
     max_branch_length: float = 10.0   # -blmax
     use_f64: bool = False             # --f64 (parity mode)
+    # topology tests / outputs
+    user_trees_file: str = ""         # -z (tree-set evaluation)
+    topo_test_replicates: int = 10000  # -zb
+    do_au_test: bool = False          # -au
+    do_asr: bool = False              # -asr (ancestral state reconstruction)
+    write_site_rate: bool = False     # -wsr (.rate)
+    write_ml_dist: bool = False       # -mldist (.mldist matrix)
     # control
     redo: bool = False
     no_checkpoint: bool = False

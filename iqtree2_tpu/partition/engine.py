@@ -1,0 +1,423 @@
+"""PartitionEngine: partitioned-supermatrix likelihood on one shared tree.
+
+Reference analogs: PhyloSuperTree (tree/phylosupertree.h:57, partition-
+parallel likelihood :701-777), PhyloSuperTreePlen (edge-linked proportional
+partitions, tree/phylosupertreeplen.h:38), PhyloSuperTreeUnlinked, and
+PartitionModel/PartitionModelPlen (model/partitionmodel.cpp).
+
+TPU-first design: all partitions share one tree schedule (the supermatrix
+union taxon set — see data/superalignment.py), so one jitted program handles
+every partition; the partition loop is unrolled *inside* jit (static K) and
+XLA overlaps the per-partition einsum pipelines. Branch-length Newton is
+joint: per-edge derivatives are summed across partitions through the chain
+rule of the per-partition rate multiplier (edge-proportional mode) —
+d/dt logL = sum_k r_k * dlogL_k/dt_k evaluated at t_k = r_k t.
+
+Three linkage modes (CLI -q / -p(-spp) / -Q):
+  edge-equal:        one branch-length vector, r_k == 1
+  edge-proportional: one branch-length vector, free per-partition scalar r_k
+  unlinked:          per-partition branch-length vectors on the shared
+                     topology (optimized independently, summed logL)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iqtree2_tpu.data.superalignment import SuperAlignment
+from iqtree2_tpu.engine import (DEFAULT_MAX_BLEN, DEFAULT_MIN_BLEN,
+                                LikelihoodEngine)
+from iqtree2_tpu.ops import pruning
+from iqtree2_tpu.tree.schedule import (build_schedule, write_blens_to_tree)
+from iqtree2_tpu.tree.topology import Tree
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# ------------------------------------------------------- jitted multi-kernels
+@jax.jit
+def _multi_loglik(blens_k, parts, scheds_shared, pws):
+    """blens_k: [K?] list of per-partition effective blens [E]; parts: tuple
+    of (tipP, pack); returns (total logL, tuple of per-pattern lp)."""
+    total = 0.0
+    lps = []
+    for bl, (tipP, pack), pw in zip(blens_k, parts, pws):
+        logL, lp = pruning.tree_loglik(bl, tipP, scheds_shared, pack, pw)
+        total = total + logL
+        lps.append(lp)
+    return total, tuple(lps)
+
+
+def _joint_newton(thetas, scales, t0, packs, pws, rks, t_min, t_max,
+                  n_iter: int):
+    """Bounded Newton on one shared branch length with derivatives summed
+    over partitions (chain rule through the per-partition rate scalar)."""
+    def one(i, t):
+        d1 = 0.0
+        d2 = 0.0
+        for th, sc, pack, pw, rk in zip(thetas, scales, packs, pws, rks):
+            _, d1k, d2k = pruning.branch_lh_derivs(
+                th, sc, t * rk, pack, pack["log_ptn_invar"], pw)
+            d1 = d1 + rk * d1k
+            d2 = d2 + rk * rk * d2k
+        newton_t = t - d1 / d2
+        bad = (d2 >= 0) | ~jnp.isfinite(newton_t)
+        fallback = jnp.where(d1 > 0, jnp.minimum(t * 4.0, t_max),
+                             jnp.maximum(t * 0.25, t_min))
+        return jnp.where(bad, fallback, jnp.clip(newton_t, t_min, t_max))
+    return jax.lax.fori_loop(0, n_iter, one, t0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton"))
+def _multi_opt_blens(blens, rks, parts, sched, pws, t_min, t_max,
+                     n_rounds: int, n_newton: int):
+    """Joint all-branch Newton over linked partitions (one shared blens)."""
+    dtype = parts[0][0].dtype
+    rks_t = [jnp.asarray(r, dtype) for r in rks]
+
+    def lg(b):
+        tot = 0.0
+        for (tipP, pack), pw, rk in zip(parts, pws, rks_t):
+            tot = tot + pruning.tree_loglik(b * rk, tipP, sched, pack, pw)[0]
+        return tot
+
+    def one_round(carry, _):
+        blens, logL_prev = carry
+        thetas, scales, packs = [], [], []
+        for (tipP, pack), rk in zip(parts, rks_t):
+            P = pruning.transition_tensors((blens * rk).astype(dtype), pack)
+            dp = pruning.down_pass(P, tipP, sched["child_ptr"],
+                                   sched["child_is_leaf"],
+                                   sched["child_edge"],
+                                   sched["child_valid"], keep_msgs=True)
+            up = pruning.up_pass(P, dp, sched["child_ptr"],
+                                 sched["child_is_leaf"], sched["child_edge"],
+                                 sched["child_valid"], pack["root_freqs"])
+            th = pruning.edge_thetas(up, dp, tipP, sched["child_ptr"],
+                                     sched["child_is_leaf"],
+                                     sched["child_valid"], pack)
+            thetas.append(th.theta)
+            scales.append(th.scale)
+            packs.append(pack)
+
+        newton = jax.vmap(
+            lambda t_e, ths, scs: _joint_newton(
+                ths, scs, t_e, packs, pws, rks_t, t_min, t_max, n_newton),
+            in_axes=(0, 0, 0))
+        prop = newton(blens.astype(dtype), tuple(thetas), tuple(scales))
+        prop = jnp.clip(prop, t_min, t_max)
+
+        def body(state):
+            cur, _, k = state
+            cur = 0.5 * (cur + blens)
+            return cur, lg(cur), k + 1
+
+        def cond(state):
+            cur, lcur, k = state
+            return (lcur < logL_prev - 1e-9) & (k < 4)
+
+        l_prop = lg(prop)
+        prop, l_new, _ = jax.lax.while_loop(
+            cond, body, (prop, l_prop, jnp.zeros((), jnp.int32)))
+        return (prop, l_new), l_new
+
+    l0 = lg(blens)
+    (blens, logL), _ = jax.lax.scan(one_round, (blens, l0), None,
+                                    length=n_rounds)
+    return blens, logL
+
+
+@functools.partial(jax.jit, static_argnames=("n_newton", "return_site_lp"))
+def _multi_nni_eval(cand_arrays, blens, rks, buffers, packs, pws,
+                    t_min, t_max, n_newton: int = 4,
+                    return_site_lp: bool = False):
+    """Joint NNI scoring across linked partitions.
+
+    buffers: tuple of (dp_msgs, dp_msg_scale, up_in, up_scale) per partition.
+    Returns (logl [n,3], t_opt [n,3]); the central branch of every variant is
+    re-optimized jointly over partitions (reference analog:
+    PhyloSuperTreePlen NNI bookkeeping, tree/phylosupertreeplen.cpp).
+    """
+    iu, iv, sa, sb, sc_, hc2, sc2, eid = cand_arrays
+    dtype = buffers[0][0].dtype
+    rks_t = [jnp.asarray(r, dtype) for r in rks]
+
+    def one(iu_, iv_, sa_, sb_, sc__, hc2_, sc2_, eid_):
+        t0 = blens[eid_]
+        # per-partition theta buffers for the three variants
+        var_thetas = [[], [], []]
+        var_scales = [[], [], []]
+        for (dp_msgs, dp_msc, up_in, up_sc), pack in zip(buffers, packs):
+            m_a = dp_msgs[iu_, sa_]
+            m_b = dp_msgs[iu_, sb_]
+            m_c = dp_msgs[iv_, sc__]
+            s_a = dp_msc[iu_, sa_]
+            s_b = dp_msc[iu_, sb_]
+            s_c = dp_msc[iv_, sc__]
+            rest = up_in[iv_]
+            s_rest = up_sc[iv_]
+            m_c2 = jnp.where(hc2_ > 0, dp_msgs[iv_, sc2_],
+                             jnp.ones((), dtype))
+            s_c2 = jnp.where(hc2_ > 0, dp_msc[iv_, sc2_], 0)
+            rest = rest * m_c2
+            s_rest = s_rest + s_c2
+            Uc = pack["U"][pack["cat_mix"]]
+            Vc = pack["V"][pack["cat_mix"]]
+
+            def theta_of(down, out):
+                a = jnp.einsum("cxk,cxp->ckp", Uc, out, precision=HIGHEST)
+                b = jnp.einsum("cky,cyp->ckp", Vc, down, precision=HIGHEST)
+                return a * b
+
+            for vi, (down, s_down, out, s_out) in enumerate([
+                    (m_a * m_c, s_a + s_c, rest * m_b, s_rest + s_b),
+                    (m_b * m_c, s_b + s_c, rest * m_a, s_rest + s_a),
+                    (m_a * m_b, s_a + s_b, rest * m_c, s_rest + s_c)]):
+                var_thetas[vi].append(theta_of(down, out))
+                var_scales[vi].append(s_down + s_out)
+
+        logls, ts, lps = [], [], []
+        for vi in range(3):
+            ths = tuple(var_thetas[vi])
+            scs = tuple(var_scales[vi])
+            t_opt = _joint_newton(ths, scs, t0, packs, pws, rks_t,
+                                  t_min, t_max, n_newton)
+            tot = 0.0
+            lp_parts = []
+            for th, sc, pack, pw, rk in zip(ths, scs, packs, pws, rks_t):
+                lk, _, _ = pruning.branch_lh_derivs(
+                    th, sc, t_opt * rk, pack, pack["log_ptn_invar"], pw,
+                    order=0)
+                tot = tot + lk
+                if return_site_lp:
+                    lp_parts.append(pruning.branch_site_lp(
+                        th, sc, t_opt * rk, pack, pack["log_ptn_invar"]))
+            logls.append(tot)
+            ts.append(t_opt)
+            if return_site_lp:
+                lps.append(tuple(lp_parts))
+        out = (jnp.stack(logls), jnp.stack(ts))
+        if return_site_lp:
+            # per-partition tuple of [3, Pp_k] (concat on host: Pp_k differ)
+            return out + (tuple(jnp.stack([lps[v][k] for v in range(3)])
+                                for k in range(len(packs))),)
+        return out
+
+    return jax.vmap(one)(iu, iv, sa, sb, sc_, hc2, sc2, eid)
+
+
+@jax.jit
+def _passes_buffers(blens, tipP, sched, pack):
+    """Down+up passes -> (msgs, msg_scale, up_in, up_scale) for NNI eval."""
+    P = pruning.transition_tensors(blens.astype(tipP.dtype), pack)
+    dp = pruning.down_pass(P, tipP, sched["child_ptr"],
+                           sched["child_is_leaf"], sched["child_edge"],
+                           sched["child_valid"], keep_msgs=True)
+    up = pruning.up_pass(P, dp, sched["child_ptr"], sched["child_is_leaf"],
+                         sched["child_edge"], sched["child_valid"],
+                         pack["root_freqs"])
+    return dp.msgs, dp.msg_scale, up.up_in, up.up_scale
+
+
+# ------------------------------------------------------------------- engine
+class PartitionEngine:
+    """Drop-in engine for partitioned supermatrices (duck-types the parts of
+    LikelihoodEngine used by search/NNI/model optimization)."""
+
+    def __init__(self, super_aln: SuperAlignment, models: list, rates: list,
+                 partition_type: str = "edge-proportional",
+                 dtype=jnp.float32, pattern_pad: int = 64):
+        assert partition_type in ("edge-proportional", "edge-equal",
+                                  "unlinked", "edge-linked")
+        if partition_type == "edge-linked":
+            partition_type = "edge-proportional"
+        self.aln = super_aln
+        self.partition_type = partition_type
+        self.models = models
+        self.rates = rates
+        self.dtype = jnp.dtype(dtype)
+        self.engines = [
+            LikelihoodEngine(p, m, r, dtype=dtype, pattern_pad=pattern_pad)
+            for p, m, r in zip(super_aln.partitions, models, rates)]
+        K = len(self.engines)
+        self.part_rates = np.ones(K, dtype=np.float64)
+        w = np.array([p.nsites for p in super_aln.partitions], np.float64)
+        self._site_w = w / w.sum()
+        # unlinked mode: per-partition branch lengths for the current topology
+        self._ul_blens: list[np.ndarray] | None = None
+        self._ul_tid: str | None = None
+
+    # -------------------------------------------------------------- helpers
+    @property
+    def K(self) -> int:
+        return len(self.engines)
+
+    @property
+    def model(self):
+        return self.models[0]
+
+    def _parts(self):
+        return tuple((e._dev_tipP, e._dev_pack) for e in self.engines)
+
+    def _pws(self):
+        return tuple(e._dev_pw for e in self.engines)
+
+    def _packs(self):
+        return tuple(e._dev_pack for e in self.engines)
+
+    def _rks(self):
+        if self.partition_type == "edge-proportional":
+            return tuple(float(r) for r in self.part_rates)
+        return tuple(1.0 for _ in self.engines)
+
+    def refresh_model(self, k: int | None = None) -> None:
+        if k is None:
+            for e in self.engines:
+                e.refresh_model()
+        else:
+            self.engines[k].refresh_model()
+
+    def schedule_arrays(self, sched):
+        return {k: jnp.asarray(v) for k, v in
+                sched.to_device_arrays().items()}
+
+    # ------------------------------------------------------------- loglik
+    def loglik_tree(self, tree: Tree) -> float:
+        return self.loglik_sched(build_schedule(tree))
+
+    def loglik_sched(self, sched) -> float:
+        sa = self.schedule_arrays(sched)
+        blens = jnp.asarray(sched.blens, self.dtype)
+        if self.partition_type == "unlinked" and self._ul_blens is not None:
+            bl_k = [jnp.asarray(b, self.dtype) for b in self._ul_blens]
+        else:
+            bl_k = [blens * r for r in self._rks()]
+        tot, _ = _multi_loglik(tuple(bl_k), self._parts(), sa, self._pws())
+        return float(tot)
+
+    def site_lp(self, tree: Tree) -> tuple[float, np.ndarray]:
+        """(logL, concatenated per-pattern log-likelihoods)."""
+        sched = build_schedule(tree)
+        sa = self.schedule_arrays(sched)
+        blens = jnp.asarray(sched.blens, self.dtype)
+        if self.partition_type == "unlinked" and \
+                self._ul_tid == tree.topology_id():
+            bl_k = [jnp.asarray(b, self.dtype) for b in self._ul_blens]
+        else:
+            bl_k = [blens * r for r in self._rks()]
+        tot, lps = _multi_loglik(tuple(bl_k), self._parts(), sa, self._pws())
+        out = np.concatenate([
+            np.asarray(lp)[: p.num_patterns]
+            for lp, p in zip(lps, self.aln.partitions)])
+        return float(tot), out
+
+    def part_loglik(self, sched, k: int, blens=None) -> float:
+        """One partition's logL at (shared blens * r_k) or explicit blens."""
+        from iqtree2_tpu.engine import _loglik_jit
+        e = self.engines[k]
+        if blens is None:
+            blens = np.asarray(sched.blens) * self._rks()[k]
+        logL, _ = _loglik_jit(jnp.asarray(blens, self.dtype), e._dev_tipP,
+                              self._sched_cache(sched), e._dev_pack,
+                              e._dev_pw)
+        return float(logL)
+
+    def _sched_cache(self, sched):
+        """Device schedule arrays, cached per schedule object."""
+        if getattr(self, "_sc_key", None) is not sched:
+            self._sc_key = sched
+            self._sc_val = self.schedule_arrays(sched)
+        return self._sc_val
+
+    # ----------------------------------------------------- branch optimizer
+    def optimize_branches(self, tree: Tree, n_rounds: int = 10,
+                          n_newton: int = 4,
+                          t_min: float = DEFAULT_MIN_BLEN,
+                          t_max: float = DEFAULT_MAX_BLEN) -> float:
+        sched = build_schedule(tree)
+        sa = self.schedule_arrays(sched)
+        tmin = jnp.asarray(t_min, self.dtype)
+        tmax = jnp.asarray(t_max, self.dtype)
+        if self.partition_type == "unlinked":
+            tid = tree.topology_id()
+            if self._ul_tid == tid and self._ul_blens is not None:
+                starts = self._ul_blens
+            else:
+                starts = [np.maximum(sched.blens, t_min)] * self.K
+            total = 0.0
+            new_bl = []
+            for k, e in enumerate(self.engines):
+                from iqtree2_tpu.engine import _optimize_blens_jit
+                bl, logL = _optimize_blens_jit(
+                    jnp.asarray(starts[k], self.dtype), e._dev_tipP, sa,
+                    e._dev_pack, e._dev_pw, tmin, tmax, n_rounds, n_newton)
+                new_bl.append(np.asarray(bl, np.float64))
+                total += float(logL)
+            self._ul_blens = new_bl
+            self._ul_tid = tid
+            mean_bl = np.average(np.stack(new_bl), axis=0,
+                                 weights=self._site_w)
+            write_blens_to_tree(tree, sched, mean_bl)
+            return total
+
+        blens = jnp.asarray(np.maximum(sched.blens, t_min), self.dtype)
+        new_blens, logL = _multi_opt_blens(
+            blens, self._rks(), self._parts(), sa, self._pws(),
+            tmin, tmax, n_rounds, n_newton)
+        write_blens_to_tree(tree, sched, np.asarray(new_blens, np.float64))
+        return float(logL)
+
+    # --------------------------------------------------------- rate scalars
+    def optimize_part_rates(self, tree: Tree) -> float:
+        """Optimize per-partition rate multipliers (edge-proportional mode),
+        then renormalize so the site-weighted mean rate is 1 (absorbed into
+        branch lengths). Reference analog: PartitionModelPlen part_rate
+        optimization (model/partitionmodel.cpp)."""
+        if self.partition_type != "edge-proportional" or self.K == 1:
+            return self.loglik_tree(tree)
+        from iqtree2_tpu.engine import _loglik_jit
+        from iqtree2_tpu.utils.optimize import brent_minimize
+        sched = build_schedule(tree)
+        sa = self._sched_cache(sched)
+        blens = jnp.asarray(sched.blens, self.dtype)
+        for k, e in enumerate(self.engines):
+            def obj(r):
+                lg, _ = _loglik_jit(blens * jnp.asarray(r, self.dtype),
+                                    e._dev_tipP, sa, e._dev_pack, e._dev_pw)
+                return -float(lg)
+            r, _ = brent_minimize(obj, 1e-3, 100.0,
+                                  guess=float(self.part_rates[k]))
+            self.part_rates[k] = r
+        # renormalize: weighted mean rate -> 1, scale blens to compensate
+        mean = float(np.sum(self._site_w * self.part_rates))
+        self.part_rates /= mean
+        for key in tree.blen:
+            tree.blen[key] *= mean
+        return self.loglik_tree(tree)
+
+    # ------------------------------------------------------------- NNI eval
+    def evaluate_nni_batch(self, sched, cand_arrays, t_min=DEFAULT_MIN_BLEN,
+                           t_max=DEFAULT_MAX_BLEN,
+                           return_site_lp: bool = False):
+        sa = self._sched_cache(sched)
+        blens = jnp.asarray(sched.blens, self.dtype)
+        buffers = []
+        for k, e in enumerate(self.engines):
+            buffers.append(_passes_buffers(blens * self._rks()[k],
+                                           e._dev_tipP, sa, e._dev_pack))
+        out = _multi_nni_eval(
+            cand_arrays, blens, self._rks(), tuple(buffers), self._packs(),
+            self._pws(), jnp.asarray(t_min, self.dtype),
+            jnp.asarray(t_max, self.dtype), return_site_lp=return_site_lp)
+        if return_site_lp:
+            logl, t_opt, lps = out
+            lp = np.concatenate(
+                [np.asarray(l)[:, :, : p.num_patterns]
+                 for l, p in zip(lps, self.aln.partitions)], axis=2)
+            return np.asarray(logl), np.asarray(t_opt), lp
+        logl, t_opt = out
+        return np.asarray(logl), np.asarray(t_opt)

@@ -1,0 +1,278 @@
+"""Partitioned-analysis orchestrator (-p/-q/-Q runs).
+
+Reference analogs: runPhyloAnalysis on a SuperAlignment
+(main/phyloanalysis.cpp:4103), PartitionFinder (testPartitionModel,
+main/phylotesting.cpp:515,1958: per-partition best models + greedy pair
+merging with the relaxed-cluster heuristic).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+from iqtree2_tpu.analysis import Logger, _merge_support
+from iqtree2_tpu.data.superalignment import (SuperAlignment,
+                                             read_partition_spec)
+from iqtree2_tpu.io import report as report_io
+from iqtree2_tpu.model.factory import build_model
+from iqtree2_tpu.params import Params
+from iqtree2_tpu.partition.engine import PartitionEngine
+from iqtree2_tpu.partition.optimize import optimize_partition_parameters
+from iqtree2_tpu.search.search import SearchParams, TreeSearch
+from iqtree2_tpu.search.ufboot import UFBoot
+from iqtree2_tpu.tree.topology import Tree
+from iqtree2_tpu.utils.checkpoint import Checkpoint
+
+
+def select_partition_models(sa: SuperAlignment, params: Params, log,
+                            ckp=None, merge: bool = False) -> dict:
+    """Per-partition ModelFinder (+ optional greedy merging).
+
+    Returns {"models": [str per partition], "aln": possibly-merged
+    SuperAlignment, "table": per-partition rows}.
+    """
+    from iqtree2_tpu.modelfinder import run_modelfinder
+    from iqtree2_tpu.ops.pars import random_stepwise_addition
+
+    rng = np.random.default_rng(params.seed)
+    tree = random_stepwise_addition(sa, rng)
+    mode = params.model if params.model.upper() in ("MFP", "MF", "TEST",
+                                                    "TESTONLY") else "TEST"
+
+    def best_for(aln, name):
+        if ckp is not None:
+            ckp.start_struct(f"Partition_{name}")
+        try:
+            res = run_modelfinder(aln, params, log=lambda s: None, ckp=ckp,
+                                  tree=tree, mode=mode)
+        finally:
+            if ckp is not None:
+                ckp.end_struct()
+        row = res["table"][0]
+        log(f"  partition {name:<20} -> {res['best']} "
+            f"(BIC {row['BIC']:.2f})")
+        return res["best"], row
+
+    models, rows = [], []
+    for p, name in zip(sa.partitions, sa.part_names):
+        best, row = best_for(p, name)
+        models.append(best)
+        rows.append(dict(row, partition=name, nsites=p.nsites))
+
+    if merge and sa.n_partitions > 1:
+        log("PartitionFinder: greedy partition merging...")
+        sa, models, rows = _greedy_merge(sa, models, rows, params, log,
+                                         best_for)
+    return {"models": models, "aln": sa, "table": rows}
+
+
+def _greedy_merge(sa, models, rows, params, log, best_for):
+    """Greedy pairwise merging judged by total BIC (rcluster-style: only the
+    closest pairs by model similarity are tried each round — here all
+    same-seqtype pairs, capped). Reference: mergePartitions
+    (main/phylotesting.cpp:1478)."""
+    cur = list(range(sa.n_partitions))
+    groups = [[i] for i in cur]
+    part_rows = {tuple([i]): rows[i] for i in cur}
+    max_pairs = 10
+
+    def total_bic():
+        return sum(part_rows[tuple(sorted(g))]["BIC"] for g in groups)
+
+    improved = True
+    while improved and len(groups) > 1:
+        improved = False
+        base_bic = total_bic()
+        cands = []
+        for a in range(len(groups)):
+            for b in range(a + 1, len(groups)):
+                ia, ib = groups[a][0], groups[b][0]
+                if sa.partitions[ia].seqtype.name != \
+                        sa.partitions[ib].seqtype.name:
+                    continue
+                cands.append((a, b))
+        # rcluster-style cap: rank pairs by closeness of per-site logL
+        def dist(ab):
+            a, b = ab
+            ra = part_rows[tuple(sorted(groups[a]))]
+            rb = part_rows[tuple(sorted(groups[b]))]
+            return abs(ra["logL"] / max(ra["nsites"], 1)
+                       - rb["logL"] / max(rb["nsites"], 1))
+        cands.sort(key=dist)
+        best_gain, best_pair, best_entry = 0.0, None, None
+        for (a, b) in cands[:max_pairs]:
+            g = sorted(groups[a] + groups[b])
+            key = tuple(g)
+            if key not in part_rows:
+                name = "+".join(sa.part_names[i] for i in g)
+                merged = sa.merged_partition(g, name)
+                best, row = best_for(merged, name)
+                part_rows[key] = dict(row, partition=name,
+                                      nsites=merged.nsites, model=best)
+            ra = part_rows[tuple(sorted(groups[a]))]
+            rb = part_rows[tuple(sorted(groups[b]))]
+            gain = (ra["BIC"] + rb["BIC"]) - part_rows[key]["BIC"]
+            if gain > best_gain:
+                best_gain, best_pair, best_entry = gain, (a, b), key
+        if best_pair is not None:
+            a, b = best_pair
+            g = sorted(groups[a] + groups[b])
+            groups = [gr for i, gr in enumerate(groups)
+                      if i not in (a, b)] + [g]
+            log(f"  merged -> {part_rows[best_entry]['partition']} "
+                f"(dBIC {best_gain:.2f}; total {base_bic - best_gain:.2f})")
+            improved = True
+
+    # materialize merged SuperAlignment
+    parts, names, mods, new_rows = [], [], [], []
+    from iqtree2_tpu.data.superalignment import build_superalignment
+    for g in groups:
+        key = tuple(sorted(g))
+        row = part_rows[key]
+        if len(g) == 1:
+            parts.append(sa.partitions[g[0]])
+            names.append(sa.part_names[g[0]])
+        else:
+            name = "+".join(sa.part_names[i] for i in g)
+            parts.append(sa.merged_partition(g, name))
+            names.append(name)
+        mods.append(row.get("model", row["name"]))
+        new_rows.append(row)
+    for p, n in zip(parts, names):
+        p.name = n
+    sa2 = build_superalignment(parts, mods)
+    sa2.part_names = names
+    return sa2, mods, new_rows
+
+
+def write_best_scheme(path, sa: SuperAlignment, models: list[str],
+                      peng: PartitionEngine | None = None) -> None:
+    """Write the .best_scheme.nex partition scheme (reference analog:
+    PartitionFinder output, main/phylotesting.cpp)."""
+    lines = ["#nexus", "begin sets;"]
+    off = 1
+    for p, name in zip(sa.partitions, sa.part_names):
+        lines.append(f"  charset {name} = {off}-{off + p.nsites - 1};")
+        off += p.nsites
+    pairs = ", ".join(f"{m}: {n}" for m, n in zip(models, sa.part_names))
+    lines.append(f"  charpartition mymerge = {pairs};")
+    lines.append("end;")
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def run_partition_analysis(params: Params) -> dict:
+    t_start = time.time()
+    prefix = params.prefix
+    log = Logger(f"{prefix}.log", params.verbose)
+    ckp = Checkpoint(None if params.no_checkpoint else f"{prefix}.ckp.gz")
+    if not params.redo:
+        ckp.load()
+
+    import jax.numpy as jnp
+    dtype = jnp.float64 if params.use_f64 else jnp.float32
+
+    log(f"Reading partition definition {params.partition_file} ...")
+    sa = read_partition_spec(params.partition_file, params.aln_file,
+                             params.seqtype)
+    log(f"Supermatrix: {sa.ntaxa} taxa, {sa.nsites} sites, "
+        f"{sa.n_partitions} partitions "
+        f"({', '.join(sa.part_names)})")
+
+    # ------------------ per-partition models ------------------------------
+    mup = params.model.upper()
+    mf_table = None
+    if mup in ("MFP", "MF", "TEST", "TESTONLY", "MF+MERGE", "MFP+MERGE",
+               "TESTMERGE", "TESTNEWMERGE"):
+        sel = select_partition_models(
+            sa, params, log, ckp=ckp, merge="MERGE" in mup)
+        sa = sel["aln"]
+        model_strs = sel["models"]
+        mf_table = sel["table"]
+        if mup in ("MF", "TESTONLY", "MF+MERGE"):
+            write_best_scheme(f"{prefix}.best_scheme.nex", sa, model_strs)
+            log(f"Best partition scheme written to {prefix}.best_scheme.nex")
+            return {"models": model_strs, "table": mf_table}
+    else:
+        model_strs = [m if m else params.model
+                      for m in sa.part_models]
+
+    models, rates = [], []
+    for p, m in zip(sa.partitions, model_strs):
+        mo, ra, _ = build_model(m, p)
+        models.append(mo)
+        rates.append(ra)
+    peng = PartitionEngine(sa, models, rates,
+                           partition_type=params.partition_type,
+                           dtype=dtype)
+    rng = np.random.default_rng(params.seed)
+
+    ufboot = None
+    if params.ufboot_replicates > 0:
+        ufboot = UFBoot(sa, n_replicates=params.ufboot_replicates,
+                        seed=params.seed)
+
+    search_info = {}
+    if params.user_tree:
+        log(f"Reading fixed topology from {params.user_tree}")
+        tree = Tree.from_newick(Path(params.user_tree).read_text(), sa.names)
+        logL = optimize_partition_parameters(peng, tree,
+                                             epsilon=params.model_eps,
+                                             log=log)
+    else:
+        sp = SearchParams(
+            n_init_trees=params.n_init_trees,
+            n_nni_trees=params.n_nni_trees,
+            pop_size=params.pop_size,
+            pertub_strength=params.pertub_strength,
+            loglh_epsilon=params.loglh_epsilon,
+            seed=params.seed,
+            min_iterations=(params.min_iterations
+                            if params.n_iterations is None
+                            else params.n_iterations),
+            max_iterations=params.max_iterations,
+            unsuccess_iteration=params.unsuccess_iteration,
+            fixed_iterations=params.n_iterations)
+        search = TreeSearch(peng, sa, sp, ufboot=ufboot, log=log)
+        log("Quick initial partition-model optimization...")
+        from iqtree2_tpu.ops.pars import random_stepwise_addition
+        t0 = random_stepwise_addition(sa, rng)
+        optimize_partition_parameters(peng, t0,
+                                      epsilon=max(params.model_eps, 1.0),
+                                      max_rounds=2, log=log)
+        res = search.run()
+        tree = res.best_tree
+        search_info["Number of iterations"] = res.n_iterations
+        logL = optimize_partition_parameters(peng, tree,
+                                             epsilon=params.model_eps,
+                                             log=log)
+
+    support = None
+    if ufboot is not None:
+        support = ufboot.supports_for(tree)
+        contree = ufboot.consensus_tree()
+        report_io.write_treefile(f"{prefix}.contree", contree)
+        search_info["UFBoot replicates"] = params.ufboot_replicates
+    if params.alrt_replicates > 0 or params.abayes:
+        from iqtree2_tpu.tests_branch import test_all_branches
+        br = test_all_branches(peng, tree,
+                               n_rell=max(params.alrt_replicates, 1000),
+                               rng=rng, do_abayes=params.abayes)
+        support = _merge_support(tree, support, br)
+
+    report_io.write_treefile(f"{prefix}.treefile", tree, support=support)
+    write_best_scheme(f"{prefix}.best_scheme.nex", sa, model_strs, peng)
+    elapsed = time.time() - t_start
+    report_io.write_partition_report(
+        f"{prefix}.iqtree", params=params, sa=sa, peng=peng,
+        model_strs=model_strs, tree=tree, logL=logL,
+        search_info=search_info, mf_table=mf_table, support=support,
+        elapsed=elapsed)
+    ckp.put("finished", True)
+    ckp.dump(force=True)
+    log(f"Partitioned analysis done in {elapsed:.2f}s; logL {logL:.4f}")
+    log.close()
+    return {"logL": logL, "tree": tree, "models": model_strs,
+            "part_rates": peng.part_rates.tolist(), "elapsed": elapsed}

@@ -12,9 +12,8 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from iqtree2_tpu.engine import (DEFAULT_MAX_BLEN, DEFAULT_MIN_BLEN,
-                                LikelihoodEngine)
-from iqtree2_tpu.ops.nni import build_nni_candidates, evaluate_nnis
+from iqtree2_tpu.engine import LikelihoodEngine
+from iqtree2_tpu.ops.nni import build_nni_candidates
 from iqtree2_tpu.tree.schedule import build_schedule
 from iqtree2_tpu.tree.topology import Tree
 
@@ -50,19 +49,11 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
         cand = build_nni_candidates(tree, sched)
         if len(cand.nodes_u) == 0:
             break
-        dp, up, cur_logL = eng.compute_passes(sched)
         cand_arrays = (jnp.asarray(cand.iu), jnp.asarray(cand.iv),
                        jnp.asarray(cand.slot_a), jnp.asarray(cand.slot_b),
                        jnp.asarray(cand.slot_c), jnp.asarray(cand.has_c2),
                        jnp.asarray(cand.slot_c2), jnp.asarray(cand.edge_id))
-        logl, t_opt = evaluate_nnis(
-            cand_arrays, jnp.asarray(sched.blens, eng.dtype),
-            dp.msgs, dp.msg_scale, up.up_in, up.up_scale,
-            eng._dev_pack, eng._dev_pw,
-            jnp.asarray(DEFAULT_MIN_BLEN, eng.dtype),
-            jnp.asarray(DEFAULT_MAX_BLEN, eng.dtype))
-        logl = np.asarray(logl)     # [n, 3]; col 2 = baseline (no swap)
-        t_opt = np.asarray(t_opt)
+        logl, t_opt = eng.evaluate_nni_batch(sched, cand_arrays)
 
         base = logl[:, 2]
         gains = logl[:, :2] - base[:, None]
@@ -90,7 +81,6 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
             used_nodes.update([u, v])
             applied += 1
         if applied == 0:
-            logL = cur_logL
             break
         total_applied += applied
         new_logL = eng.optimize_branches(tree, n_rounds=blen_rounds)

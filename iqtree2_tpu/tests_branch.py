@@ -17,14 +17,12 @@ from scipy.stats import chi2
 
 import jax.numpy as jnp
 
-from iqtree2_tpu.engine import (DEFAULT_MAX_BLEN, DEFAULT_MIN_BLEN,
-                                LikelihoodEngine)
-from iqtree2_tpu.ops.nni import build_nni_candidates, evaluate_nnis
+from iqtree2_tpu.ops.nni import build_nni_candidates
 from iqtree2_tpu.tree.schedule import build_schedule
 from iqtree2_tpu.tree.topology import Tree
 
 
-def test_all_branches(eng: LikelihoodEngine, tree: Tree,
+def test_all_branches(eng, tree: Tree,
                       n_rell: int = 1000,
                       rng: np.random.Generator | None = None,
                       do_alrt: bool = True,
@@ -41,22 +39,14 @@ def test_all_branches(eng: LikelihoodEngine, tree: Tree,
     cand = build_nni_candidates(tree, sched)
     if len(cand.nodes_u) == 0:
         return {}
-    dp, up, _ = eng.compute_passes(sched)
     cand_arrays = (jnp.asarray(cand.iu), jnp.asarray(cand.iv),
                    jnp.asarray(cand.slot_a), jnp.asarray(cand.slot_b),
                    jnp.asarray(cand.slot_c), jnp.asarray(cand.has_c2),
                    jnp.asarray(cand.slot_c2), jnp.asarray(cand.edge_id))
-    logl, t_opt, site_lp = evaluate_nnis(
-        cand_arrays, jnp.asarray(sched.blens, eng.dtype),
-        dp.msgs, dp.msg_scale, up.up_in, up.up_scale,
-        eng._dev_pack, eng._dev_pw,
-        jnp.asarray(DEFAULT_MIN_BLEN, eng.dtype),
-        jnp.asarray(DEFAULT_MAX_BLEN, eng.dtype),
-        return_site_lp=True)
+    logl, t_opt, site_lp = eng.evaluate_nni_batch(sched, cand_arrays,
+                                                  return_site_lp=True)
     logl = np.asarray(logl, np.float64)          # [n, 3] cols: nni1,nni2,cur
-    site_lp = np.asarray(site_lp, np.float64)    # [n, 3, Pp]
-    P = aln.num_patterns
-    site_lp = site_lp[:, :, :P]
+    site_lp = np.asarray(site_lp, np.float64)    # [n, 3, P]
     w = aln.pattern_weights
 
     # reorder to (current, nni1, nni2)

@@ -1,0 +1,89 @@
+"""Topology tests, AliSim simulation, ASR, and site-rate posteriors."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from iqtree2_tpu.data.alignment import Alignment
+from iqtree2_tpu.engine import LikelihoodEngine
+from iqtree2_tpu.model.factory import build_model
+from iqtree2_tpu.simulator import simulate_alignment
+from iqtree2_tpu.tree.topology import Tree
+from iqtree2_tpu.treetesting import evaluate_trees
+
+
+def _sim_problem(seed=7, nsites=400, ntaxa=8):
+    rng = np.random.default_rng(seed)
+    names = [f"t{i}" for i in range(ntaxa)]
+    tree = Tree.random_topology(names, rng)
+    for k in tree.blen:
+        tree.blen[k] = rng.uniform(0.05, 0.4)
+    dummy = Alignment.from_sequences(names, ["ACGT"] * ntaxa, seqtype="DNA")
+    model, rates, _ = build_model("HKY{3.0}+F{0.3,0.2,0.2,0.3}+G{0.8}",
+                                  dummy)
+    seqs = simulate_alignment(tree, model, rates, nsites, rng)
+    aln = Alignment.from_sequences(names, [seqs[n] for n in names],
+                                   seqtype="DNA")
+    return tree, aln, rng
+
+
+def test_simulator_recovers_frequencies():
+    tree, aln, _ = _sim_problem(nsites=3000)
+    freqs = aln.state_frequencies()
+    assert np.abs(freqs - np.array([0.3, 0.2, 0.2, 0.3])).max() < 0.04
+
+
+def test_treetests_prefer_true_tree():
+    tree, aln, rng = _sim_problem()
+    model, rates, _ = build_model("HKY+G", aln)
+    eng = LikelihoodEngine(aln, model, rates, dtype=jnp.float64)
+    true_t = tree.copy()
+    bad_t = Tree.random_topology(aln.names, np.random.default_rng(999))
+    lps = []
+    for t in (true_t, bad_t):
+        eng.optimize_branches(t, n_rounds=6)
+        _, lp = eng.site_lp(t)
+        lps.append(lp)
+    res = evaluate_trees(np.stack(lps), aln.pattern_weights, nboot=2000,
+                         rng=np.random.default_rng(5))
+    assert res.logL[0] > res.logL[1]
+    assert res.bp_rell[0] > 0.9
+    assert res.p_au is None or res.p_au[0] > 0.5
+    # all p-values of the ML tree itself must be >= those of the bad tree
+    assert res.p_kh[0] >= res.p_kh[1]
+    assert res.p_sh[0] >= res.p_sh[1]
+    assert res.c_elw[0] > res.c_elw[1]
+
+
+def test_asr_recovers_root_states():
+    """Marginal ASR on simulated data: posteriors are valid distributions
+    and confident sites match the simulating process's tip consensus."""
+    tree, aln, _ = _sim_problem(nsites=300, seed=11)
+    model, rates, _ = build_model("HKY{3.0}+F{0.3,0.2,0.2,0.3}+G{0.8}", aln)
+    eng = LikelihoodEngine(aln, model, rates, dtype=jnp.float64)
+    post, nodes, sched = eng.ancestral_posteriors(tree)
+    assert post.shape[0] == len(nodes)
+    s = post.sum(axis=1)
+    assert np.allclose(s, 1.0, atol=1e-6)
+    # confident calls should dominate at conserved columns
+    mat = aln.expand_to_sites()  # [sites, taxa]
+    conserved = (mat == mat[:, :1]).all(axis=1)
+    if conserved.any():
+        site = np.nonzero(conserved)[0][0]
+        p = aln.site_to_pattern[site]
+        state = mat[site, 0]
+        assert post[0, state, p] > 0.9
+
+
+def test_site_rate_posterior_orders_by_variability():
+    tree, aln, _ = _sim_problem(nsites=500, seed=13)
+    model, rates, _ = build_model("HKY+G", aln)
+    eng = LikelihoodEngine(aln, model, rates, dtype=jnp.float64)
+    eng.optimize_branches(tree, n_rounds=4)
+    mean_rate, cat_post = eng.site_rate_posterior(tree)
+    assert mean_rate.shape[0] == aln.num_patterns
+    assert np.allclose(cat_post.sum(axis=0), 1.0, atol=1e-6)
+    # constant patterns must get lower posterior rates than variable ones
+    const = aln.is_constant_pattern()
+    if const.any() and (~const).any():
+        assert mean_rate[const].mean() < mean_rate[~const].mean()
