@@ -78,7 +78,8 @@ def run_analysis(params: Params) -> dict:
             log(f"ModelFinder-only run finished ({elapsed:.2f}s)")
             return {"model_selection": mf}
     model, rates, extras = build_model(model_str, aln)
-    eng = LikelihoodEngine(aln, model, rates, dtype=dtype)
+    eng = LikelihoodEngine(aln, model, rates, dtype=dtype,
+                           asc=extras.get("asc", False))
 
     rng = np.random.default_rng(params.seed)
 

@@ -112,7 +112,9 @@ def _passes_jit(blens, tipP, sched, pack, pattern_weights):
                          pack["root_freqs"])
     logL, _ = pruning.root_loglik(dp.partials[-1], dp.scale[-1],
                                   pack["root_freqs"], pack["cat_weight"],
-                                  pack["log_ptn_invar"], pattern_weights)
+                                  pack["log_ptn_invar"], pattern_weights,
+                                  asc_mask=pack.get("asc_mask"),
+                                  asc_nsites=pack.get("asc_nsites"))
     return dp, up, logL
 
 
@@ -151,20 +153,33 @@ def _asr_jit(blens, tipP, sched, pack, pattern_weights):
 
 class LikelihoodEngine:
     def __init__(self, aln: Alignment, model, rates, dtype=jnp.float32,
-                 pattern_pad: int = 128):
+                 pattern_pad: int = 128, asc: bool = False):
         self.aln = aln
         self.model = model
         self.rates = rates
         self.dtype = jnp.dtype(dtype)
+        self.asc = asc
 
         P = aln.num_patterns
-        self.Pp = _round_up(max(P, 1), pattern_pad)
+        S = aln.num_states
+        # +ASC appends S weight-0 pseudo-patterns (one constant column per
+        # state) whose likelihoods feed the Lewis correction
+        needed = P + (S if asc else 0)
+        self.Pp = _round_up(max(needed, 1), pattern_pad)
         pad = self.Pp - P
 
         codes = aln.tip_codes()  # [L, P]
         unk = aln.seqtype.unknown_code
         self.tip_codes = np.pad(codes, ((0, 0), (0, pad)),
                                 constant_values=unk)
+        if asc:
+            definite = np.nonzero(
+                aln.seqtype.tip_table.sum(1) == 1.0)[0]
+            state_code = np.full(S, unk, dtype=np.int64)
+            for c in definite:
+                state_code[aln.seqtype.tip_table[c].argmax()] = c
+            for x in range(S):
+                self.tip_codes[:, P + x] = state_code[x]
         self.pattern_weights = np.pad(
             aln.pattern_weights.astype(np.float64), (0, pad))
         self._dev_pw = jnp.asarray(self.pattern_weights, dtype=self.dtype)
@@ -196,6 +211,14 @@ class LikelihoodEngine:
             root_freqs=jnp.asarray(pk.root_freqs, d),
             log_ptn_invar=jnp.asarray(log_inv, d),
         )
+        if self.asc:
+            P = self.aln.num_patterns
+            S = self.aln.num_states
+            mask = np.zeros(self.Pp)
+            mask[P: P + S] = 1.0
+            self._dev_pack["asc_mask"] = jnp.asarray(mask, d)
+            self._dev_pack["asc_nsites"] = jnp.asarray(
+                self.aln.pattern_weights.sum(), d)
         tip_table = jnp.asarray(pk.tip_table, d)
         tipP = pruning.tip_partials(jnp.asarray(self.tip_codes), tip_table)
         self._dev_tipP = tipP

@@ -23,12 +23,13 @@ from iqtree2_tpu.model.subst import GTRModel, SubstModel
 
 class ModelSpec:
     def __init__(self, base: str, base_params, freq_type, freq_params,
-                 rate_terms):
+                 rate_terms, other_terms=None):
         self.base = base
         self.base_params = base_params
         self.freq_type = freq_type
         self.freq_params = freq_params
         self.rate_terms = rate_terms  # list of (kind, ncat, params)
+        self.other_terms = other_terms or []  # e.g. mixture suffixes +C20
 
 
 _TERM_RE = re.compile(r"\+([A-Za-z]+)(\d*)(\{[^}]*\})?")
@@ -47,11 +48,20 @@ def parse_model_string(s: str) -> ModelSpec:
     freq_type = None
     freq_params = None
     rate_terms: list[tuple[str, int, list[float]]] = []
+    other_terms: list[str] = []
     for t in _TERM_RE.finditer(rest):
         kind = t.group(1).upper()
         num = int(t.group(2)) if t.group(2) else None
         params = _parse_braces(t.group(3))
-        if kind in ("F", "FO", "FQ", "FEQ", "FU", "FC"):
+        full = f"{kind}{t.group(2) or ''}"
+        if full in ("C10", "C20", "C30", "C40", "C50", "C60", "CF4",
+                    "EX2", "EX3", "EHO", "UL2", "UL3", "EX_EHO",
+                    "LG4M", "LG4X"):
+            other_terms.append(full)
+            continue
+        if kind == "F" and num in (1, 3):
+            freq_type = f"F{num}X4"   # codon positional frequencies
+        elif kind in ("F", "FO", "FQ", "FEQ", "FU", "FC"):
             freq_type = {"F": "empirical", "FO": "estimate", "FQ": "equal",
                          "FEQ": "equal", "FU": "user",
                          "FC": "empirical"}[kind]
@@ -70,7 +80,8 @@ def parse_model_string(s: str) -> ModelSpec:
             rate_terms.append(("H", num or 4, params))
         else:
             raise ValueError(f"unsupported model term +{kind} in {s!r}")
-    return ModelSpec(base, base_params, freq_type, freq_params, rate_terms)
+    return ModelSpec(base, base_params, freq_type, freq_params, rate_terms,
+                     other_terms)
 
 
 def _parse_braces(s: str | None) -> list[float] | None:
@@ -82,13 +93,48 @@ def _parse_braces(s: str | None) -> list[float] | None:
     return [float(x) for x in inner.split(",")]
 
 
+MIXTURE_NAMES = {"C10", "C20", "C30", "C40", "C50", "C60", "EX2", "EX3",
+                 "EHO", "UL2", "UL3", "EX_EHO", "LG4M", "LG4X", "LG4",
+                 "CF4", "C10OPT", "C20OPT"}
+
+
 def build_model(spec_str: str, aln: Alignment) -> tuple[SubstModel, RateModel,
                                                         dict]:
     """Instantiate model + rates for an alignment. Returns (model, rates,
     extras) where extras carries +ASC / +E flags."""
+    s = spec_str.strip()
+    # generic mixture MIX{m1,m2,...}[+rate terms]
+    if s.upper().startswith("MIX{"):
+        from iqtree2_tpu.model.mixture import make_generic_mix
+        depth = 0
+        for i, ch in enumerate(s):
+            depth += ch == "{"
+            depth -= ch == "}"
+            if depth == 0 and ch == "}":
+                break
+        comps = _split_top_level(s[4:i])
+        model = make_generic_mix(comps, aln)
+        extras = {}
+        rates = _build_rates(parse_model_string("JC" + s[i + 1:]), extras)
+        return model, rates, extras
+
     spec = parse_model_string(spec_str)
     st = aln.seqtype.name
     extras: dict = {}
+
+    # named protein mixtures (C10..C60, LG4M, LG4X, EX2, ...) and
+    # base+profile combinations like LG+C20[+G...]
+    base_up = spec.base.upper()
+    if base_up in MIXTURE_NAMES or spec.other_terms:
+        return _build_mixture_model(spec, aln, extras)
+
+    # codon models
+    if st.startswith("CODON") or base_up in ("GY", "MG", "MGK", "GY1KTS",
+                                             "GY1KTV", "GY2K"):
+        from iqtree2_tpu.model.codon import make_codon_model
+        model = make_codon_model(spec, aln)
+        rates = _build_rates(spec, extras)
+        return model, rates, extras
 
     # ---------------- substitution model
     base_upper = spec.base.upper()
@@ -140,7 +186,12 @@ def build_model(spec_str: str, aln: Alignment) -> tuple[SubstModel, RateModel,
         raise ValueError(
             f"model {spec.base!r} not supported for seqtype {st}")
 
-    # ---------------- rate heterogeneity
+    rates = _build_rates(spec, extras)
+    return model, rates, extras
+
+
+def _build_rates(spec: ModelSpec, extras: dict) -> RateModel:
+    """Rate-heterogeneity object from the +I/+G/+R/+ASC terms."""
     kinds = {k for (k, _, _) in spec.rate_terms}
     if "ASC" in kinds:
         extras["asc"] = True
@@ -156,10 +207,9 @@ def build_model(spec_str: str, aln: Alignment) -> tuple[SubstModel, RateModel,
         alpha = p[0] if p else 1.0
         extras["fix_alpha"] = bool(p)
         if "I" in kinds:
-            rates = RateGammaInvar(n, alpha=alpha, p_invar=p_inv)
-        else:
-            rates = RateGamma(n, alpha=alpha)
-    elif "R" in kinds:
+            return RateGammaInvar(n, alpha=alpha, p_invar=p_inv)
+        return RateGamma(n, alpha=alpha)
+    if "R" in kinds:
         n, p = get["R"]
         rr = ww = None
         if p:
@@ -167,11 +217,60 @@ def build_model(spec_str: str, aln: Alignment) -> tuple[SubstModel, RateModel,
             rr = np.asarray(p[1::2])
             extras["fix_free_rates"] = True
         if "I" in kinds:
-            rates = RateFreeInvar(n, p_invar=p_inv, rates=rr, weights=ww)
+            return RateFreeInvar(n, p_invar=p_inv, rates=rr, weights=ww)
+        return RateFree(n, rates=rr, weights=ww)
+    if "I" in kinds:
+        return RateInvar(p_inv)
+    return RateModel()
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside braces."""
+    out, cur, depth = [], [], 0
+    for ch in s:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
         else:
-            rates = RateFree(n, rates=rr, weights=ww)
-    elif "I" in kinds:
-        rates = RateInvar(p_inv)
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _build_mixture_model(spec: ModelSpec, aln: Alignment, extras: dict):
+    """Named mixture models: bare (C20, EX2, LG4X, ...) or base+profile
+    (LG+C20, WAG+C60, ...). Reference analog: ModelMixture built-ins
+    (model/modelmixture.cpp)."""
+    from iqtree2_tpu.model.mixture import make_mixture
+    base_up = spec.base.upper()
+    if base_up in MIXTURE_NAMES:
+        model = make_mixture(base_up, aln=aln)
     else:
-        rates = RateModel()
+        # base matrix + profile mixture, e.g. LG+C20
+        prof = spec.other_terms[0]
+        base_model = protein.make_protein_model(spec.base)
+        model = make_mixture(prof, aln=aln,
+                             base_exch=base_model.exch_rates)
+        model.name = f"{base_model.name}+{prof}"
+    rates = _build_rates(spec, extras)
+    # the published C10..C60/CF4 definitions are POISSON+G+FMIX{...}: bare
+    # profile-mixture names imply discrete-gamma rates
+    prof_name = (base_up if base_up in MIXTURE_NAMES
+                 else spec.other_terms[0].upper())
+    if not spec.rate_terms and prof_name.startswith(("C1", "C2", "C3",
+                                                     "C4", "C5", "C6",
+                                                     "CF")):
+        rates = RateGamma(4, alpha=1.0)
+    if model.fused_rates:
+        # LG4M/*G4 or LG4X/*R4: force a matching 4-category rate model
+        M = len(model.components)
+        has_rate = len(rates.category_rates()) == M
+        if not has_rate:
+            rates = (RateFree(M) if model.name.upper().startswith("LG4X")
+                     else RateGamma(M, alpha=1.0))
     return model, rates, extras

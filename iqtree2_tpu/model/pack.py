@@ -73,11 +73,20 @@ def build_model_pack(aln: Alignment, model: SubstModel,
     w = rates.category_weights()    # [Cr]
     Cr = len(r)
 
-    # fuse mixture x rate classes into one category axis
-    cat_rate = np.tile(r, M)                               # [M*Cr]
-    cat_weight = np.concatenate(
-        [w * eig.mix_weights[m] for m in range(M)])
-    cat_mix = np.repeat(np.arange(M, dtype=np.int32), Cr)
+    if getattr(model, "fused_rates", False) and Cr == M:
+        # fused mixture x rate: class k pairs only with rate category k
+        # (reference: fused_mix_rate, model/modelfactory.cpp:136 — LG4M *G4,
+        # LG4X *R4)
+        cat_rate = np.asarray(r)
+        cat_weight = np.asarray(w) * eig.mix_weights
+        cat_weight = cat_weight / cat_weight.sum()
+        cat_mix = np.arange(M, dtype=np.int32)
+    else:
+        # cross product of mixture x rate classes on one category axis
+        cat_rate = np.tile(r, M)                           # [M*Cr]
+        cat_weight = np.concatenate(
+            [w * eig.mix_weights[m] for m in range(M)])
+        cat_mix = np.repeat(np.arange(M, dtype=np.int32), Cr)
     root_freqs = eig.freqs[cat_mix]                        # [C, S]
 
     # invariant-site likelihood per pattern: p_inv * sum_x pi_x * const(p,x)

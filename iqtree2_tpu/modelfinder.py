@@ -98,11 +98,12 @@ def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
             entry = ckp.get(name)
         else:
             try:
-                model, rates, _ = build_model(name, aln)
+                model, rates, extras = build_model(name, aln)
             except ValueError:
                 base_skip.add(base)
                 continue
-            eng = LikelihoodEngine(aln, model, rates, dtype=jnp.float32)
+            eng = LikelihoodEngine(aln, model, rates, dtype=jnp.float32,
+                                   asc=extras.get("asc", False))
             t = tree.copy()
             if blen_cache is not None:
                 for k, v in blen_cache.items():

@@ -153,12 +153,18 @@ def down_pass(P, tipP, child_ptr, child_is_leaf, child_edge, child_valid,
 
 
 def root_loglik(Broot, SCroot, root_freqs, cat_weight, log_ptn_invar,
-                pattern_weights, axis_name: str | None = None):
+                pattern_weights, axis_name: str | None = None,
+                asc_mask=None, asc_nsites=None):
     """Site log-likelihoods + total logL from the root partials.
 
     Returns (logL, site_lp[Ppat]). When the pattern axis is sharded over a
     mesh axis, pass its name: the pattern-sum becomes a psum over ICI
     (site sharding is embarrassingly parallel — SURVEY §5).
+
+    asc_mask/asc_nsites: Lewis ascertainment-bias correction (+ASC) —
+    pseudo-patterns (one all-same-state column per state, weight 0) are
+    flagged by asc_mask; logL -= N * log(1 - sum_x L_x) (reference:
+    tree/phylokernelnew.h:3275-3330 ASC_LEWIS).
     """
     dtype = Broot.dtype
     _, _, log_rescale = scaling_consts(dtype)
@@ -171,6 +177,12 @@ def root_loglik(Broot, SCroot, root_freqs, cat_weight, log_ptn_invar,
     logL = jnp.sum(pattern_weights * lp)
     if axis_name is not None:
         logL = jax.lax.psum(logL, axis_name)
+    if asc_mask is not None:
+        prob_unobs = jnp.sum(asc_mask * jnp.exp(lp))
+        if axis_name is not None:
+            prob_unobs = jax.lax.psum(prob_unobs, axis_name)
+        logL = logL - asc_nsites * jnp.log1p(
+            -jnp.minimum(prob_unobs, 1.0 - 1e-10))
     return logL, lp
 
 
@@ -187,7 +199,9 @@ def tree_loglik(blens, tipP, sched, pack, pattern_weights,
                    keep_msgs=False)
     return root_loglik(dp.partials[-1], dp.scale[-1], pack["root_freqs"],
                        pack["cat_weight"], pack["log_ptn_invar"],
-                       pattern_weights, axis_name=axis_name)
+                       pattern_weights, axis_name=axis_name,
+                       asc_mask=pack.get("asc_mask"),
+                       asc_nsites=pack.get("asc_nsites"))
 
 
 # ------------------------------------------------------------------ up pass
@@ -330,7 +344,14 @@ def branch_lh_derivs(theta, scale, t, pack, log_ptn_invar, pattern_weights,
     logL = jnp.sum(pattern_weights * lp)
     if axis_name is not None:
         logL = jax.lax.psum(logL, axis_name)
+    asc_mask = pack.get("asc_mask")
     if order == 0:
+        if asc_mask is not None:
+            prob_unobs = jnp.sum(asc_mask * jnp.exp(lp))
+            if axis_name is not None:
+                prob_unobs = jax.lax.psum(prob_unobs, axis_name)
+            logL = logL - pack["asc_nsites"] * jnp.log1p(
+                -jnp.minimum(prob_unobs, 1.0 - 1e-10))
         return logL, None, None
     site1 = jnp.einsum("ckp,ck->p", theta, wet * lr, precision=HIGHEST)
     site2 = jnp.einsum("ckp,ck->p", theta, wet * lr * lr, precision=HIGHEST)
@@ -345,6 +366,23 @@ def branch_lh_derivs(theta, scale, t, pack, log_ptn_invar, pattern_weights,
     if axis_name is not None:
         d1 = jax.lax.psum(d1, axis_name)
         d2 = jax.lax.psum(d2, axis_name)
+    if asc_mask is not None:
+        # d/dt of -N log(1 - s),  s = sum_x e^{lp_x}:
+        #   s'  = sum_x e^{lp_x} (lp_x)'
+        #   s'' = sum_x e^{lp_x} ((lp_x)'' + (lp_x)'^2)
+        sx = asc_mask * jnp.exp(lp)
+        s = jnp.sum(sx)
+        s1 = jnp.sum(sx * d1p)
+        s2 = jnp.sum(sx * (d2p + d1p * d1p))
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+            s1 = jax.lax.psum(s1, axis_name)
+            s2 = jax.lax.psum(s2, axis_name)
+        N = pack["asc_nsites"]
+        om = jnp.maximum(1.0 - s, 1e-10)
+        logL = logL - N * jnp.log(om)
+        d1 = d1 + N * s1 / om
+        d2 = d2 + N * (s2 / om + (s1 / om) ** 2)
     return logL, d1, d2
 
 

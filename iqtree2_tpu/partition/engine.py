@@ -230,7 +230,8 @@ class PartitionEngine:
 
     def __init__(self, super_aln: SuperAlignment, models: list, rates: list,
                  partition_type: str = "edge-proportional",
-                 dtype=jnp.float32, pattern_pad: int = 64):
+                 dtype=jnp.float32, pattern_pad: int = 64,
+                 asc_flags: list[bool] | None = None):
         assert partition_type in ("edge-proportional", "edge-equal",
                                   "unlinked", "edge-linked")
         if partition_type == "edge-linked":
@@ -240,9 +241,12 @@ class PartitionEngine:
         self.models = models
         self.rates = rates
         self.dtype = jnp.dtype(dtype)
+        asc_flags = asc_flags or [False] * len(models)
         self.engines = [
-            LikelihoodEngine(p, m, r, dtype=dtype, pattern_pad=pattern_pad)
-            for p, m, r in zip(super_aln.partitions, models, rates)]
+            LikelihoodEngine(p, m, r, dtype=dtype, pattern_pad=pattern_pad,
+                             asc=a)
+            for p, m, r, a in zip(super_aln.partitions, models, rates,
+                                  asc_flags)]
         K = len(self.engines)
         self.part_rates = np.ones(K, dtype=np.float64)
         w = np.array([p.nsites for p in super_aln.partitions], np.float64)

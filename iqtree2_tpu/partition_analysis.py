@@ -199,14 +199,15 @@ def run_partition_analysis(params: Params) -> dict:
         model_strs = [m if m else params.model
                       for m in sa.part_models]
 
-    models, rates = [], []
+    models, rates, asc_flags = [], [], []
     for p, m in zip(sa.partitions, model_strs):
-        mo, ra, _ = build_model(m, p)
+        mo, ra, ex = build_model(m, p)
         models.append(mo)
         rates.append(ra)
+        asc_flags.append(ex.get("asc", False))
     peng = PartitionEngine(sa, models, rates,
                            partition_type=params.partition_type,
-                           dtype=dtype)
+                           dtype=dtype, asc_flags=asc_flags)
     rng = np.random.default_rng(params.seed)
 
     ufboot = None
