@@ -93,6 +93,55 @@ def _optimize_blens_jit(blens, tipP, sched, pack, pattern_weights,
     return blens, logL
 
 
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton"))
+def _optimize_blens_nonrev_jit(blens, tipP, sched, pack, pattern_weights,
+                               t_min, t_max, n_rounds: int, n_newton: int):
+    """Branch Newton for nonreversible models: no eigenbasis theta trick;
+    per-edge (down, out) partials feed direct bilinear derivatives through
+    dP/dt = Q P (ops/pruning.py branch_lh_derivs_nonrev)."""
+    dtype = tipP.dtype
+
+    def lg(b):
+        return pruning.tree_loglik(b, tipP, sched, pack, pattern_weights)[0]
+
+    def one_round(carry, _):
+        blens, logL_prev = carry
+        P = pruning.transition_tensors(blens.astype(dtype), pack)
+        dp = pruning.down_pass(P, tipP, sched["child_ptr"],
+                               sched["child_is_leaf"], sched["child_edge"],
+                               sched["child_valid"], keep_msgs=True)
+        up = pruning.up_pass(P, dp, sched["child_ptr"],
+                             sched["child_is_leaf"], sched["child_edge"],
+                             sched["child_valid"], pack["root_freqs"])
+        down, down_sc = pruning.edge_down_partials(dp, tipP, P.shape[0])
+        scale = up.edge_E_scale + down_sc
+        newton = jax.vmap(
+            lambda t_e, d_e, o_e, sc_e: pruning.newton_branch_step_nonrev(
+                d_e, o_e, sc_e, t_e, pack, pack["log_ptn_invar"],
+                pattern_weights, t_min, t_max, n_iter=n_newton))
+        prop = jnp.clip(newton(blens.astype(dtype), down, up.edge_E, scale),
+                        t_min, t_max)
+
+        def body(state):
+            cur, _, k = state
+            cur = 0.5 * (cur + blens)
+            return cur, lg(cur), k + 1
+
+        def cond(state):
+            cur, lcur, k = state
+            return (lcur < logL_prev - 1e-9) & (k < 4)
+
+        l_prop = lg(prop)
+        prop, l_new, _ = jax.lax.while_loop(
+            cond, body, (prop, l_prop, jnp.zeros((), jnp.int32)))
+        return (prop, l_new), l_new
+
+    l0 = lg(blens)
+    (blens, logL), _ = jax.lax.scan(one_round, (blens, l0), None,
+                                    length=n_rounds)
+    return blens, logL
+
+
 @jax.jit
 def _site_lp_jit(blens, tipP, sched, pack, pattern_weights):
     logL, lp = pruning.tree_loglik(blens, tipP, sched, pack, pattern_weights)
@@ -208,6 +257,7 @@ class LikelihoodEngine:
             cat_rate=jnp.asarray(pk.cat_rate, d),
             cat_weight=jnp.asarray(pk.cat_weight, d),
             cat_mix=jnp.asarray(pk.cat_mix, jnp.int32),
+            Q=None if pk.Q is None else jnp.asarray(pk.Q, d),
             root_freqs=jnp.asarray(pk.root_freqs, d),
             log_ptn_invar=jnp.asarray(log_inv, d),
         )
@@ -297,7 +347,8 @@ class LikelihoodEngine:
             dp.msgs, dp.msg_scale, up.up_in, up.up_scale,
             self._dev_pack, self._dev_pw,
             jnp.asarray(t_min, self.dtype), jnp.asarray(t_max, self.dtype),
-            return_site_lp=return_site_lp)
+            return_site_lp=return_site_lp,
+            nonrev=self._dev_pack.get("Q") is not None)
         if return_site_lp:
             logl, t_opt, lp = out
             return (np.asarray(logl), np.asarray(t_opt),
@@ -312,7 +363,10 @@ class LikelihoodEngine:
         """Optimize all branch lengths in place on the host tree."""
         sched = build_schedule(tree)
         blens = jnp.asarray(np.maximum(sched.blens, t_min), self.dtype)
-        new_blens, logL = _optimize_blens_jit(
+        opt = (_optimize_blens_nonrev_jit
+               if self._dev_pack.get("Q") is not None else
+               _optimize_blens_jit)
+        new_blens, logL = opt(
             blens, self._dev_tipP, self.schedule_arrays(sched),
             self._dev_pack, self._dev_pw,
             jnp.asarray(t_min, self.dtype), jnp.asarray(t_max, self.dtype),

@@ -151,6 +151,21 @@ def build_model(spec_str: str, aln: Alignment) -> tuple[SubstModel, RateModel,
     elif freq_type == "empirical":
         freqs = aln.state_frequencies()
 
+    if base_upper in ("UNREST", "NONREV"):
+        from iqtree2_tpu.model.nonrev import UnrestModel
+        model = UnrestModel(aln.num_states,
+                            rates=(np.asarray(spec.base_params)
+                                   if spec.base_params else None))
+        rates = _build_rates(spec, extras)
+        return model, rates, extras
+    if st == "DNA":
+        from iqtree2_tpu.model.liemarkov import (LieMarkovModel,
+                                                 is_lie_markov_name)
+        if is_lie_markov_name(spec.base) and not \
+                dna.is_dna_model_name(base_upper):
+            model = LieMarkovModel(spec.base, params=spec.base_params)
+            rates = _build_rates(spec, extras)
+            return model, rates, extras
     if st == "DNA" and dna.is_dna_model_name(base_upper):
         # DNA named model; default '+F'-less behavior: counted frequencies
         # for F81/HKY-class models is 'empirical' per reference defaults

@@ -32,6 +32,7 @@ class ModelPack:
     V: np.ndarray           # [M, S, S]
     W: np.ndarray | None    # [M, S, S] orthonormal symmetrized eigvecs
     sqrt_freqs: np.ndarray | None  # [M, S]
+    Q: np.ndarray | None    # [M, S, S] nonreversible rate matrices
     cat_rate: np.ndarray    # [C]
     cat_weight: np.ndarray  # [C]
     cat_mix: np.ndarray     # [C] int32
@@ -56,6 +57,7 @@ class ModelPack:
             W=None if self.W is None else c(self.W),
             sqrt_freqs=None if self.sqrt_freqs is None
             else c(self.sqrt_freqs),
+            Q=None if self.Q is None else c(self.Q),
             cat_rate=c(self.cat_rate), cat_weight=c(self.cat_weight),
             cat_mix=self.cat_mix, root_freqs=c(self.root_freqs),
             tip_table=c(self.tip_table),
@@ -106,6 +108,7 @@ def build_model_pack(aln: Alignment, model: SubstModel,
         W=eig.W,
         sqrt_freqs=None if eig.W is None else np.sqrt(
             np.maximum(eig.freqs, 1e-300)),
+        Q=eig.Q,
         cat_rate=cat_rate, cat_weight=cat_weight, cat_mix=cat_mix,
         root_freqs=root_freqs,
         tip_table=aln.seqtype.tip_table.copy(),

@@ -96,11 +96,12 @@ class NonRevProteinModel(SubstModel):
 
     def get_eigensystem(self) -> Eigensystem:
         w, U, V = eigen_general(self.Q)
-        # real-arithmetic approximation (see class docstring)
+        # Q is carried for the exact nonreversible device path (expm);
+        # the real parts of U/V are kept only for host-side reporting.
         return Eigensystem(eigvals=np.real(w)[None],
                            U=np.real(U)[None], V=np.real(V)[None],
                            freqs=self.freqs[None],
-                           mix_weights=np.ones(1))
+                           mix_weights=np.ones(1), Q=self.Q[None])
 
     def num_free_params(self) -> int:
         return 0

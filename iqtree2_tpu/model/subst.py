@@ -38,6 +38,10 @@ class Eigensystem:
     # the cancellation-free float32 transition form
     #   P(t) = D^{-1/2} (I + W diag(expm1(lambda t)) W^T) D^{1/2}.
     W: np.ndarray | None = None
+    # For nonreversible models: the normalized rate matrices [M, S, S];
+    # the device path then uses a scaling-and-squaring expm instead of the
+    # eigenbasis (reference analog: tree/phylokernelnonrev.h).
+    Q: np.ndarray | None = None
 
     @property
     def num_states(self) -> int:

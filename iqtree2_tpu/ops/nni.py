@@ -80,10 +80,11 @@ def build_nni_candidates(tree: Tree, sched: TreeSchedule) -> NNICandidates:
                          nodes_u, nodes_v)
 
 
-@functools.partial(jax.jit, static_argnames=("n_newton", "return_site_lp"))
+@functools.partial(jax.jit, static_argnames=("n_newton", "return_site_lp",
+                                             "nonrev"))
 def evaluate_nnis(cand_arrays, blens, dp_msgs, dp_msg_scale, up_in, up_scale,
                   pack, pattern_weights, t_min, t_max, n_newton: int = 4,
-                  return_site_lp: bool = False):
+                  return_site_lp: bool = False, nonrev: bool = False):
     """Score both NNI variants (and the no-swap baseline) for all candidate
     edges at once. Returns (logl [n,3], t_opt [n,3]) where column 2 is the
     re-optimized current topology (baseline). With return_site_lp, also
@@ -110,7 +111,20 @@ def evaluate_nnis(cand_arrays, blens, dp_msgs, dp_msg_scale, up_in, up_scale,
         Uc = pack["U"][pack["cat_mix"]]
         Vc = pack["V"][pack["cat_mix"]]
 
+        def score_nonrev(down, s_down, out, s_out):
+            scale = s_down + s_out
+            t_opt = pruning.newton_branch_step_nonrev(
+                down, out, scale, t0, pack, log_ptn_invar, pattern_weights,
+                t_min, t_max, n_iter=n_newton)
+            logl, _, _ = pruning.branch_lh_derivs_nonrev(
+                down, out, scale, t_opt, pack, log_ptn_invar,
+                pattern_weights, order=0)
+            lp = jnp.zeros((0,), down.dtype)
+            return logl, t_opt, lp
+
         def score(down, s_down, out, s_out):
+            if nonrev:
+                return score_nonrev(down, s_down, out, s_out)
             a = jnp.einsum("cxk,cxp->ckp", Uc, out,
                            precision=jax.lax.Precision.HIGHEST)
             b = jnp.einsum("cky,cyp->ckp", Vc, down,

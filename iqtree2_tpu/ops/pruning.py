@@ -52,11 +52,18 @@ def transition_tensors(blens, pack):
       P = D^{-1/2} (I + W diag(expm1(lambda r t)) W^T) D^{1/2}
     which keeps tiny off-diagonal entries accurate in float32 (the naive
     U e^{Lt} V form loses them to catastrophic cancellation). Nonreversible
-    models fall back to U e^{Lt} V. Reference analog:
+    models (pack["Q"] present) use a scaling-and-squaring matrix
+    exponential — all matmuls, MXU-friendly (reference analog: the nonrev
+    kernel path, tree/phylokernelnonrev.h). Reference:
     ModelMarkov::computeTransMatrix (model/modelmarkov.cpp:504) folded
     per-category as in computePartialInfo (tree/phylokernelnew.h:896).
     """
     cat_mix = pack["cat_mix"]
+    if pack.get("Q") is not None:
+        Qc = pack["Q"][cat_mix]             # [C, S, S]
+        A = Qc[None] * (pack["cat_rate"][None, :, None, None]
+                        * blens[:, None, None, None])   # [E, C, S, S]
+        return jnp.maximum(expm_ss(A), 0.0)
     lam = pack["eigvals"][cat_mix]          # [C, S]
     expo = lam[None, :, :] * pack["cat_rate"][None, :, None] \
         * blens[:, None, None]              # [E, C, S]
@@ -75,6 +82,26 @@ def transition_tensors(blens, pack):
         P = jnp.einsum("cxk,eck,cky->ecxy", Uc, jnp.exp(expo), Vc,
                        precision=HIGHEST)
     return jnp.maximum(P, 0.0)
+
+
+def expm_ss(A, order: int = 8, squarings: int = 8):
+    """Batched matrix exponential by scaling-and-squaring with a truncated
+    Taylor series: exp(A) = (exp(A/2^k))^(2^k). For rate matrices Q*t with
+    t <= 10 and mean rate 1 the scaled norm is tiny, so a fixed (order,
+    squarings) is accurate to float32 precision and — unlike the Padé path
+    of jax.scipy.linalg.expm — contains no data-dependent control flow, so
+    it fuses cleanly under jit. All work is [.., S, S] matmuls (MXU)."""
+    A = A / (2.0 ** squarings)
+    S = A.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(S, dtype=A.dtype), A.shape)
+    P = eye
+    term = eye
+    for k in range(1, order + 1):
+        term = jnp.matmul(term, A, precision=HIGHEST) / k
+        P = P + term
+    for _ in range(squarings):
+        P = jnp.matmul(P, P, precision=HIGHEST)
+    return P
 
 
 def tip_partials(tip_codes, tip_table):
@@ -289,6 +316,23 @@ class Thetas(NamedTuple):
     scale: jax.Array        # [E, Ppat] total scale counts
 
 
+def edge_down_partials(dp: DownPass, tipP, n_edges: int):
+    """Per-edge child-side partials (leaf or internal) + scale counts.
+
+    Edge id convention: leaves own edges 0..L-1, internal node (postorder j)
+    owns edge L+j."""
+    C, S, Pp = dp.partials.shape[1:]
+    L = tipP.shape[0]
+    dtype = dp.partials.dtype
+    down = jnp.zeros((n_edges, C, S, Pp), dtype)
+    down_sc = jnp.zeros((n_edges, Pp), jnp.int32)
+    leafD = jnp.broadcast_to(tipP[:, None, :, :], (L, C, S, Pp))
+    down = down.at[:L].set(leafD.astype(dtype))
+    down = down.at[L:].set(dp.partials[: n_edges - L])
+    down_sc = down_sc.at[L:].set(dp.scale[: n_edges - L])
+    return down, down_sc
+
+
 def edge_thetas(up: UpPass, dp: DownPass, tipP, child_ptr, child_is_leaf,
                 child_valid, pack) -> Thetas:
     """theta_e(c,k,p) = (sum_x E_e(c,x,p) U(c,x,k)) (sum_y V(c,k,y) D_e(c,y,p))
@@ -296,28 +340,81 @@ def edge_thetas(up: UpPass, dp: DownPass, tipP, child_ptr, child_is_leaf,
     where D_e is the down partial of the child endpoint of e. Branch
     likelihood: f(t) = sum_k theta_k exp(lambda_k r_c t) per category.
     """
-    n_int = child_ptr.shape[0]
-    C, S, Pp = dp.partials.shape[1:]
     n_edges = up.edge_E.shape[0]
-    L = tipP.shape[0]
-    dtype = dp.partials.dtype
-
     Uc = pack["U"][pack["cat_mix"]]   # [C, S, S]
     Vc = pack["V"][pack["cat_mix"]]
-
-    # down partials per edge: gather child partial (leaf or internal)
-    # edge id: leaves own edges 0..L-1, internal node (postorder j) edge L+j
-    down = jnp.zeros((n_edges, C, S, Pp), dtype)
-    down_sc = jnp.zeros((n_edges, Pp), jnp.int32)
-    leafD = jnp.broadcast_to(tipP[:, None, :, :], (L, C, S, Pp))
-    down = down.at[:L].set(leafD.astype(dtype))
-    down = down.at[L:].set(dp.partials[: n_edges - L])
-    down_sc = down_sc.at[L:].set(dp.scale[: n_edges - L])
-
+    down, down_sc = edge_down_partials(dp, tipP, n_edges)
     a = jnp.einsum("cxk,ecxp->eckp", Uc, up.edge_E, precision=HIGHEST)
     b = jnp.einsum("cky,ecyp->eckp", Vc, down, precision=HIGHEST)
     theta = a * b
     return Thetas(theta, up.edge_E_scale + down_sc)
+
+
+# ------------------------------------------- nonreversible branch derivatives
+def branch_lh_derivs_nonrev(down, out, scale, t, pack, log_ptn_invar,
+                            pattern_weights, order: int = 2,
+                            axis_name: str | None = None):
+    """Branch logL + d/dt + d2/dt2 for nonreversible models (no eigenbasis):
+    site0 = out . P(t) . down, dP/dt = (sum_c w_c r_c Q) P, etc.
+
+    down/out: [C, S, Ppat]; scale: [Ppat]. Reference analog: the nonrev
+    derivative kernels (tree/phylokernelnonrev.h)."""
+    dtype = down.dtype
+    _, _, log_rescale = scaling_consts(dtype)
+    Qc = pack["Q"][pack["cat_mix"]]                    # [C, S, S]
+    r = pack["cat_rate"]
+    w = pack["cat_weight"]
+    A = Qc * (r[:, None, None] * t)                    # [C, S, S]
+    P = expm_ss(A)
+    outP = jnp.einsum("cxp,cxy->cyp", out, P, precision=HIGHEST)
+    site0 = jnp.einsum("c,cyp,cyp->p", w, outP, down, precision=HIGHEST)
+    site0 = jnp.maximum(site0, 0.0)
+    sc = scale.astype(dtype) * jnp.asarray(log_rescale, dtype)
+    tiny = jnp.finfo(dtype).tiny
+    lp = jnp.log(jnp.maximum(site0, tiny)) - sc
+    lp = jnp.logaddexp(lp, log_ptn_invar)
+    logL = jnp.sum(pattern_weights * lp)
+    if axis_name is not None:
+        logL = jax.lax.psum(logL, axis_name)
+    if order == 0:
+        return logL, None, None
+    rQ = Qc * r[:, None, None]
+    outQP = jnp.einsum("cxp,cxy->cyp",
+                       jnp.einsum("cxp,cxz->czp", out, rQ,
+                                  precision=HIGHEST),
+                       P, precision=HIGHEST)
+    outQQP = jnp.einsum("cxp,cxy->cyp",
+                        jnp.einsum("cxp,cxz->czp",
+                                   jnp.einsum("cxp,cxw->cwp", out, rQ,
+                                              precision=HIGHEST),
+                                   rQ, precision=HIGHEST),
+                        P, precision=HIGHEST)
+    site1 = jnp.einsum("c,cyp,cyp->p", w, outQP, down, precision=HIGHEST)
+    site2 = jnp.einsum("c,cyp,cyp->p", w, outQQP, down, precision=HIGHEST)
+    inv_scaled = jnp.exp(log_ptn_invar + sc)
+    denom = site0 + inv_scaled
+    d1p = site1 / denom
+    d2p = site2 / denom - d1p * d1p
+    d1 = jnp.sum(pattern_weights * d1p)
+    d2 = jnp.sum(pattern_weights * d2p)
+    if axis_name is not None:
+        d1 = jax.lax.psum(d1, axis_name)
+        d2 = jax.lax.psum(d2, axis_name)
+    return logL, d1, d2
+
+
+def newton_branch_step_nonrev(down, out, scale, t0, pack, log_ptn_invar,
+                              pattern_weights, t_min, t_max,
+                              n_iter: int = 4):
+    def one(i, t):
+        _, d1, d2 = branch_lh_derivs_nonrev(down, out, scale, t, pack,
+                                            log_ptn_invar, pattern_weights)
+        newton_t = t - d1 / d2
+        bad = (d2 >= 0) | ~jnp.isfinite(newton_t)
+        fallback = jnp.where(d1 > 0, jnp.minimum(t * 4.0, t_max),
+                             jnp.maximum(t * 0.25, t_min))
+        return jnp.where(bad, fallback, jnp.clip(newton_t, t_min, t_max))
+    return jax.lax.fori_loop(0, n_iter, one, t0)
 
 
 def branch_lh_derivs(theta, scale, t, pack, log_ptn_invar, pattern_weights,

@@ -43,17 +43,27 @@ def pad_patterns_for_mesh(n_patterns: int, n_shards: int,
     return per * n_shards
 
 
-def sharded_loglik_fn(mesh: Mesh):
+_PER_PATTERN_PACK_KEYS = ("log_ptn_invar", "asc_mask")
+
+
+def _pack_specs(pack) -> dict:
+    """PartitionSpec pytree mirroring the model pack's keys: every array
+    replicated except the per-pattern ones (spec derives from the actual
+    pack so new keys — Q, asc_mask, ... — never desync)."""
+    return {k: (P(AXIS) if k in _PER_PATTERN_PACK_KEYS else P())
+            for k in pack}
+
+
+def sharded_loglik_fn(mesh: Mesh, pack):
     """Returns a jitted fn(blens, tipP, sched, pack, pattern_weights) with
     tipP/pattern_weights sharded on the pattern axis."""
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(None, None, AXIS), P(), _pack_specs(), P(AXIS)),
+        in_specs=(P(), P(None, None, AXIS), P(), _pack_specs(pack), P(AXIS)),
         out_specs=(P(), P(AXIS)),
         check_vma=False)
     def fn(blens, tipP, sched, pack, pw):
-        pack = dict(pack, log_ptn_invar=pack["log_ptn_invar"])
         logL, lp = pruning.tree_loglik(blens, tipP, sched, pack, pw,
                                        axis_name=AXIS)
         return logL, lp
@@ -61,16 +71,7 @@ def sharded_loglik_fn(mesh: Mesh):
     return jax.jit(fn)
 
 
-def _pack_specs():
-    # all pack arrays replicated except log_ptn_invar (per-pattern)
-    return {
-        "eigvals": P(), "U": P(), "V": P(), "W": P(), "sqrt_freqs": P(),
-        "cat_rate": P(), "cat_weight": P(), "cat_mix": P(),
-        "root_freqs": P(), "log_ptn_invar": P(AXIS),
-    }
-
-
-def sharded_optimize_step_fn(mesh: Mesh, n_newton: int = 4):
+def sharded_optimize_step_fn(mesh: Mesh, pack, n_newton: int = 4):
     """One full sharded branch-optimization round: down+up passes on each
     shard, per-edge Newton with psum'd derivatives, returns (blens, logL).
 
@@ -80,7 +81,7 @@ def sharded_optimize_step_fn(mesh: Mesh, n_newton: int = 4):
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(None, None, AXIS), P(), _pack_specs(), P(AXIS),
+        in_specs=(P(), P(None, None, AXIS), P(), _pack_specs(pack), P(AXIS),
                   P(), P()),
         out_specs=(P(), P()),
         check_vma=False)
