@@ -72,6 +72,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ancestral state reconstruction (.state)")
     p.add_argument("-mldist", dest="write_ml_dist", action="store_true",
                    help="write ML pairwise distances (.mldist)")
+    p.add_argument("-lmap", dest="lmap_quartets", type=int, default=0,
+                   help="likelihood mapping with N quartets (.lmap.svg)")
+    p.add_argument("--gcf", dest="gcf_tree_file", default="",
+                   help="gene-tree file for gene concordance factors")
+    p.add_argument("--scf", dest="scf_quartets", type=int, default=0,
+                   help="quartets per branch for site concordance factors")
+    p.add_argument("-rf", dest="rf_tree_file", default="",
+                   help="compute RF distance between -t tree(s) and FILE")
+    p.add_argument("-rf_all", dest="rf_all", action="store_true",
+                   help="all-to-all RF distances of the -t tree set")
+    p.add_argument("-con", dest="consensus_of", default="",
+                   help="majority-rule consensus of trees in FILE")
+    p.add_argument("-r", dest="random_tree_n", type=int, default=0,
+                   help="generate a random tree with N taxa")
+    p.add_argument("-rtype", dest="random_tree_model", default="yule",
+                   help="random tree model: yule|uniform|caterpillar|"
+                        "balanced|star")
     p.add_argument("--f64", dest="use_f64", action="store_true",
                    help="float64 likelihood (parity mode; slower on TPU)")
     p.add_argument("-nt", "-T", dest="num_threads", default="AUTO",
@@ -112,6 +129,55 @@ def main(argv=None) -> int:
     if args.alisim:
         from iqtree2_tpu.simulator import run_alisim
         run_alisim(pr)
+        return 0
+    if pr.random_tree_n > 0:
+        import numpy as np
+        from iqtree2_tpu.treeutils import random_tree
+        t = random_tree(pr.random_tree_n, pr.random_tree_model,
+                        np.random.default_rng(pr.seed))
+        out = (pr.out_prefix or "random") + ".treefile"
+        with open(out, "w") as f:
+            f.write(t.to_newick() + "\n")
+        print(f"Random {pr.random_tree_model} tree with "
+              f"{pr.random_tree_n} taxa -> {out}")
+        return 0
+    if pr.consensus_of:
+        from iqtree2_tpu.analysis import _read_tree_set
+        from iqtree2_tpu.treeutils import consensus_tree
+        from iqtree2_tpu.tree.topology import Tree
+        first = _read_tree_set(pr.consensus_of, None)
+        names = first[0].taxon_names
+        trees = _read_tree_set(pr.consensus_of, names)
+        con, freqs = consensus_tree(trees, names)
+        support = {}
+        for s, (a, b) in con.splits().items():
+            support[Tree._key(a, b)] = round(100.0 * freqs.get(s, 0.0))
+        out = (pr.out_prefix or pr.consensus_of) + ".contree"
+        with open(out, "w") as f:
+            f.write(con.to_newick(support=support) + "\n")
+        print(f"Majority-rule consensus of {len(trees)} trees -> {out}")
+        return 0
+    if pr.rf_tree_file or pr.rf_all:
+        from iqtree2_tpu.analysis import _read_tree_set
+        from iqtree2_tpu.treeutils import rf_distance, rf_matrix
+        src = pr.start_tree or pr.user_tree or pr.rf_tree_file
+        base = _read_tree_set(src, None)
+        names = base[0].taxon_names
+        base = _read_tree_set(src, names)
+        if pr.rf_all or not pr.rf_tree_file or pr.rf_tree_file == src:
+            D = rf_matrix(base)
+            out = (pr.out_prefix or src) + ".rfdist"
+            with open(out, "w") as f:
+                f.write(f"{len(base)}\n")
+                for i, row in enumerate(D):
+                    f.write(f"t{i + 1} " + " ".join(map(str, row)) + "\n")
+            print(f"All-to-all RF distances ({len(base)} trees) -> {out}")
+        else:
+            other = _read_tree_set(pr.rf_tree_file, names)
+            for i, t1 in enumerate(base):
+                for j, t2 in enumerate(other):
+                    print(f"RF(tree{i + 1}, tree{j + 1}) = "
+                          f"{rf_distance(t1, t2)}")
         return 0
     if not pr.aln_file and not pr.partition_file:
         print("error: -s ALIGNMENT is required", file=sys.stderr)

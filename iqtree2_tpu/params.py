@@ -49,6 +49,14 @@ class Params:
     do_asr: bool = False              # -asr (ancestral state reconstruction)
     write_site_rate: bool = False     # -wsr (.rate)
     write_ml_dist: bool = False       # -mldist (.mldist matrix)
+    lmap_quartets: int = 0            # -lmap (likelihood mapping)
+    gcf_tree_file: str = ""           # --gcf (gene trees for gCF)
+    scf_quartets: int = 0             # --scf (site concordance factor)
+    rf_tree_file: str = ""            # -rf / -rf_all
+    rf_all: bool = False
+    consensus_of: str = ""            # -con FILE (consensus of a tree set)
+    random_tree_n: int = 0            # -r N (generate a random tree)
+    random_tree_model: str = "yule"   # yule|uniform|caterpillar|balanced|star
     # control
     redo: bool = False
     no_checkpoint: bool = False
