@@ -56,15 +56,9 @@ def _optimize_blens_jit(blens, tipP, sched, pack, pattern_weights,
     def one_round(carry, _):
         blens, logL_prev = carry
         P = pruning.transition_tensors(blens.astype(dtype), pack)
-        dp = pruning.down_pass(P, tipP, sched["child_ptr"],
-                               sched["child_is_leaf"], sched["child_edge"],
-                               sched["child_valid"], keep_msgs=True)
-        up = pruning.up_pass(P, dp, sched["child_ptr"],
-                             sched["child_is_leaf"], sched["child_edge"],
-                             sched["child_valid"], pack["root_freqs"])
-        th = pruning.edge_thetas(up, dp, tipP, sched["child_ptr"],
-                                 sched["child_is_leaf"],
-                                 sched["child_valid"], pack)
+        dp = pruning.down_pass(P, tipP, sched)
+        up = pruning.up_pass(P, dp, tipP, sched, pack["root_freqs"])
+        th = pruning.edge_thetas(up, dp, sched["edge_src"], pack)
         newton = jax.vmap(
             lambda t_e, th_e, sc_e: pruning.newton_branch_step(
                 th_e, sc_e, t_e, pack, pack["log_ptn_invar"],
@@ -107,13 +101,9 @@ def _optimize_blens_nonrev_jit(blens, tipP, sched, pack, pattern_weights,
     def one_round(carry, _):
         blens, logL_prev = carry
         P = pruning.transition_tensors(blens.astype(dtype), pack)
-        dp = pruning.down_pass(P, tipP, sched["child_ptr"],
-                               sched["child_is_leaf"], sched["child_edge"],
-                               sched["child_valid"], keep_msgs=True)
-        up = pruning.up_pass(P, dp, sched["child_ptr"],
-                             sched["child_is_leaf"], sched["child_edge"],
-                             sched["child_valid"], pack["root_freqs"])
-        down, down_sc = pruning.edge_down_partials(dp, tipP, P.shape[0])
+        dp = pruning.down_pass(P, tipP, sched)
+        up = pruning.up_pass(P, dp, tipP, sched, pack["root_freqs"])
+        down, down_sc = pruning.edge_down_partials(dp, sched["edge_src"])
         scale = up.edge_E_scale + down_sc
         newton = jax.vmap(
             lambda t_e, d_e, o_e, sc_e: pruning.newton_branch_step_nonrev(
@@ -150,16 +140,14 @@ def _site_lp_jit(blens, tipP, sched, pack, pattern_weights):
 
 @jax.jit
 def _passes_jit(blens, tipP, sched, pack, pattern_weights):
-    """Down+up passes with cached messages (for NNI eval / thetas)."""
+    """Down+up passes (for NNI eval / thetas)."""
     dtype = tipP.dtype
     P = pruning.transition_tensors(blens.astype(dtype), pack)
-    dp = pruning.down_pass(P, tipP, sched["child_ptr"],
-                           sched["child_is_leaf"], sched["child_edge"],
-                           sched["child_valid"], keep_msgs=True)
-    up = pruning.up_pass(P, dp, sched["child_ptr"], sched["child_is_leaf"],
-                         sched["child_edge"], sched["child_valid"],
-                         pack["root_freqs"])
-    logL, _ = pruning.root_loglik(dp.partials[-1], dp.scale[-1],
+    dp = pruning.down_pass(P, tipP, sched)
+    up = pruning.up_pass(P, dp, tipP, sched, pack["root_freqs"])
+    n_int = sched["child_src"].shape[0]
+    Broot, SCroot = pruning.root_partial(dp, P, tipP, n_int)
+    logL, _ = pruning.root_loglik(Broot, SCroot,
                                   pack["root_freqs"], pack["cat_weight"],
                                   pack["log_ptn_invar"], pattern_weights,
                                   asc_mask=pack.get("asc_mask"),
@@ -180,19 +168,18 @@ def _asr_jit(blens, tipP, sched, pack, pattern_weights):
     """
     dtype = tipP.dtype
     P = pruning.transition_tensors(blens.astype(dtype), pack)
-    dp = pruning.down_pass(P, tipP, sched["child_ptr"],
-                           sched["child_is_leaf"], sched["child_edge"],
-                           sched["child_valid"], keep_msgs=True)
-    up = pruning.up_pass(P, dp, sched["child_ptr"], sched["child_is_leaf"],
-                         sched["child_edge"], sched["child_valid"],
-                         pack["root_freqs"])
+    dp = pruning.down_pass(P, tipP, sched)
+    up = pruning.up_pass(P, dp, tipP, sched, pack["root_freqs"])
+    L = tipP.shape[0]
+    n_int = sched["child_src"].shape[0]
     w = pack["cat_weight"]
-    joint = dp.partials * up.up_in                     # [n_int, C, S, Pp]
+    joint = dp.all[L:] * up.up_in                      # [n_int, C, S, Pp]
     post = jnp.einsum("c,ncsp->nsp", w, joint, precision=HIGHEST_P)
     post = post / jnp.maximum(post.sum(axis=1, keepdims=True),
                               jnp.finfo(dtype).tiny)
     # rate-category posterior at the root (for .rate site rates)
-    lh_cat = jnp.einsum("cx,cxp->cp", pack["root_freqs"], dp.partials[-1],
+    Broot, _ = pruning.root_partial(dp, P, tipP, n_int)
+    lh_cat = jnp.einsum("cx,cxp->cp", pack["root_freqs"], Broot,
                         precision=HIGHEST_P)
     cat_post = w[:, None] * lh_cat
     cat_post = cat_post / jnp.maximum(cat_post.sum(axis=0, keepdims=True),
@@ -344,7 +331,7 @@ class LikelihoodEngine:
         dp, up, _ = self.compute_passes(sched)
         out = evaluate_nnis(
             cand_arrays, jnp.asarray(sched.blens, self.dtype),
-            dp.msgs, dp.msg_scale, up.up_in, up.up_scale,
+            dp, up.up_in, up.up_scale, self.schedule_arrays(sched),
             self._dev_pack, self._dev_pw,
             jnp.asarray(t_min, self.dtype), jnp.asarray(t_max, self.dtype),
             return_site_lp=return_site_lp,

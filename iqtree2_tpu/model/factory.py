@@ -212,30 +212,40 @@ def _build_rates(spec: ModelSpec, extras: dict) -> RateModel:
         extras["asc"] = True
     get = {k: (n, p) for (k, n, p) in spec.rate_terms}
 
+    # "+X{v}" brace parameters FIX the value (reference semantics: the model
+    # string grammar of ModelFactory, model/modelfactory.cpp:151); the fix
+    # flags live on the rate objects so every optimizer path honors them.
     p_inv = 0.0
+    fix_pinv = False
     if "I" in kinds:
         n, p = get["I"]
         p_inv = p[0] if p else 0.1
-        extras["fix_pinv"] = bool(p)
+        fix_pinv = bool(p)
+        extras["fix_pinv"] = fix_pinv
     if "G" in kinds:
         n, p = get["G"]
         alpha = p[0] if p else 1.0
-        extras["fix_alpha"] = bool(p)
+        fix_alpha = bool(p)
+        extras["fix_alpha"] = fix_alpha
         if "I" in kinds:
-            return RateGammaInvar(n, alpha=alpha, p_invar=p_inv)
-        return RateGamma(n, alpha=alpha)
+            return RateGammaInvar(n, alpha=alpha, p_invar=p_inv,
+                                  fix_alpha=fix_alpha, fix_pinv=fix_pinv)
+        return RateGamma(n, alpha=alpha, fix_alpha=fix_alpha)
     if "R" in kinds:
         n, p = get["R"]
         rr = ww = None
+        fix_fr = False
         if p:
             ww = np.asarray(p[0::2])
             rr = np.asarray(p[1::2])
+            fix_fr = True
             extras["fix_free_rates"] = True
         if "I" in kinds:
-            return RateFreeInvar(n, p_invar=p_inv, rates=rr, weights=ww)
-        return RateFree(n, rates=rr, weights=ww)
+            return RateFreeInvar(n, p_invar=p_inv, rates=rr, weights=ww,
+                                 fix_rates=fix_fr, fix_pinv=fix_pinv)
+        return RateFree(n, rates=rr, weights=ww, fix_rates=fix_fr)
     if "I" in kinds:
-        return RateInvar(p_inv)
+        return RateInvar(p_inv, fix_pinv=fix_pinv)
     return RateModel()
 
 

@@ -76,7 +76,8 @@ def discrete_gamma_rates(alpha: float, ncat: int,
 class RateGamma(RateModel):
     def __init__(self, ncat: int = 4, alpha: float = 1.0,
                  median: bool = False, p_invar: float = 0.0,
-                 invar_free: bool = True, alpha_free: bool = True):
+                 invar_free: bool = True, alpha_free: bool = True,
+                 fix_alpha: bool = False):
         self._ncat = ncat
         self.alpha = alpha
         self.median = median
@@ -84,6 +85,9 @@ class RateGamma(RateModel):
         self.has_invar = p_invar > 0 or invar_free is None
         self.alpha_free = alpha_free
         self.invar_free = invar_free
+        # "+G{0.6}" pins alpha (reference: brace params fix the value,
+        # model/modelfactory.cpp:151 grammar)
+        self.fix_alpha = fix_alpha
         self.name = f"+G{ncat}"
 
     @property
@@ -104,19 +108,25 @@ class RateGamma(RateModel):
         return np.full(self._ncat, (1.0 - self._p_invar) / self._ncat)
 
     def get_params(self) -> np.ndarray:
+        if self.fix_alpha:
+            return np.zeros(0)
         return np.array([self.alpha])
 
     def set_params(self, x: np.ndarray) -> None:
-        self.alpha = float(x[0])
+        if not self.fix_alpha:
+            self.alpha = float(x[0])
 
     def param_bounds(self):
         # reference MIN_GAMMA_SHAPE=0.02, MAX_GAMMA_SHAPE=1000
+        if self.fix_alpha:
+            return np.zeros(0), np.zeros(0)
         return np.array([0.02]), np.array([100.0])
 
 
 class RateInvar(RateModel):
-    def __init__(self, p_invar: float = 0.1):
+    def __init__(self, p_invar: float = 0.1, fix_pinv: bool = False):
         self._p_invar = p_invar
+        self.fix_pinv = fix_pinv
         self.name = "+I"
 
     @property
@@ -134,19 +144,26 @@ class RateInvar(RateModel):
         return np.array([1.0 - self._p_invar])
 
     def get_params(self) -> np.ndarray:
+        if self.fix_pinv:
+            return np.zeros(0)
         return np.array([self._p_invar])
 
     def set_params(self, x: np.ndarray) -> None:
-        self._p_invar = float(x[0])
+        if not self.fix_pinv:
+            self._p_invar = float(x[0])
 
     def param_bounds(self):
+        if self.fix_pinv:
+            return np.zeros(0), np.zeros(0)
         return np.array([1e-6]), np.array([0.9999])
 
 
 class RateGammaInvar(RateGamma):
     def __init__(self, ncat: int = 4, alpha: float = 1.0,
-                 p_invar: float = 0.1, median: bool = False):
-        super().__init__(ncat, alpha, median, p_invar)
+                 p_invar: float = 0.1, median: bool = False,
+                 fix_alpha: bool = False, fix_pinv: bool = False):
+        super().__init__(ncat, alpha, median, p_invar, fix_alpha=fix_alpha)
+        self.fix_pinv = fix_pinv
         self.name = f"+I+G{ncat}"
 
     @RateGamma.p_invar.getter
@@ -157,14 +174,30 @@ class RateGammaInvar(RateGamma):
         self._p_invar = v
 
     def get_params(self) -> np.ndarray:
-        return np.array([self.alpha, self._p_invar])
+        out = []
+        if not self.fix_alpha:
+            out.append(self.alpha)
+        if not self.fix_pinv:
+            out.append(self._p_invar)
+        return np.array(out)
 
     def set_params(self, x: np.ndarray) -> None:
-        self.alpha = float(x[0])
-        self._p_invar = float(x[1])
+        i = 0
+        if not self.fix_alpha:
+            self.alpha = float(x[i])
+            i += 1
+        if not self.fix_pinv:
+            self._p_invar = float(x[i])
 
     def param_bounds(self):
-        return np.array([0.02, 1e-6]), np.array([100.0, 0.9999])
+        lo, hi = [], []
+        if not self.fix_alpha:
+            lo.append(0.02)
+            hi.append(100.0)
+        if not self.fix_pinv:
+            lo.append(1e-6)
+            hi.append(0.9999)
+        return np.array(lo), np.array(hi)
 
 
 class RateFree(RateModel):
@@ -174,7 +207,7 @@ class RateFree(RateModel):
     """
 
     def __init__(self, ncat: int = 4, rates=None, weights=None,
-                 p_invar: float = 0.0):
+                 p_invar: float = 0.0, fix_rates: bool = False):
         self._ncat = ncat
         if rates is None:
             # reference init: gamma-like spread
@@ -184,6 +217,8 @@ class RateFree(RateModel):
         self.rates = np.asarray(rates, dtype=np.float64)
         self.weights = np.asarray(weights, dtype=np.float64)
         self._p_invar = p_invar
+        # "+R4{w1,r1,...}" pins rates and weights
+        self.fix_rates = fix_rates
         self.normalize()
         self.name = f"+R{ncat}"
 
@@ -213,9 +248,13 @@ class RateFree(RateModel):
 
     def get_params(self) -> np.ndarray:
         # parameterize as (rates[1:]/rates[0] increments, weight logits[1:])
+        if self.fix_rates:
+            return np.zeros(0)
         return np.concatenate([self.rates, self.weights[:-1]])
 
     def set_params(self, x: np.ndarray) -> None:
+        if self.fix_rates:
+            return
         self.rates = np.asarray(x[: self._ncat], dtype=np.float64)
         w = np.concatenate([x[self._ncat:], [0.0]])
         w[-1] = max(1.0 - w[:-1].sum(), 1e-10)
@@ -223,6 +262,8 @@ class RateFree(RateModel):
         self.normalize()
 
     def param_bounds(self):
+        if self.fix_rates:
+            return np.zeros(0), np.zeros(0)
         lo = np.concatenate(
             [np.full(self._ncat, 1e-4), np.full(self._ncat - 1, 1e-6)])
         hi = np.concatenate(
@@ -234,12 +275,33 @@ class RateFree(RateModel):
 
 
 class RateFreeInvar(RateFree):
-    def __init__(self, ncat: int = 4, p_invar: float = 0.1, **kw):
+    def __init__(self, ncat: int = 4, p_invar: float = 0.1,
+                 fix_pinv: bool = False, **kw):
         super().__init__(ncat, p_invar=p_invar, **kw)
+        self.fix_pinv = fix_pinv
         self.name = f"+I+R{ncat}"
 
     def set_p_invar(self, v: float) -> None:
         self._p_invar = v
+
+    def get_params(self) -> np.ndarray:
+        base = super().get_params()
+        if self.fix_pinv:
+            return base
+        return np.concatenate([base, [self._p_invar]])
+
+    def set_params(self, x: np.ndarray) -> None:
+        if not self.fix_pinv:
+            self._p_invar = float(x[-1])
+            x = x[:-1]
+        super().set_params(x)
+
+    def param_bounds(self):
+        lo, hi = super().param_bounds()
+        if self.fix_pinv:
+            return lo, hi
+        return (np.concatenate([lo, [1e-6]]),
+                np.concatenate([hi, [0.9999]]))
 
     def num_free_params(self) -> int:
         return 2 * self._ncat

@@ -1,15 +1,19 @@
 """Batched NNI candidate evaluation on-chip.
 
 For every internal edge e=(u child, v parent) the two NNI rearrangements are
-scored *simultaneously for all edges* from the cached down-pass messages and
+scored *simultaneously for all edges* from the down-pass partials and
 up-pass outside partials — no per-candidate tree traversal:
 
   around e the four subtrees are (a, b | c, d):  a,b = children of u,
-  c = one sibling at v, d = rest (parent side of v, or the second sibling
-  when v is the root).
+  c = the other child of v, d = rest (everything above v — the up-pass
+  outside partial, which already folds in the root frequencies and the
+  leaf-0 message when v is the root).
   variant 0 swaps b<->c:  down' = m_a * m_c ; out' = rest * m_b
   variant 1 swaps a<->c:  down' = m_b * m_c ; out' = rest * m_a
   theta' = (out' U) (V down') ; central branch re-optimized by Newton.
+
+Child messages m_* are recomputed from the unified partial buffer
+(one gather + small contraction each — they are no longer stored).
 
 This is the NNI1 evaluation mode (re-optimize the central branch only);
 reference analog: getBestNNIForBran (tree/phylotree.cpp:4058). The CPU
@@ -35,11 +39,7 @@ class NNICandidates(NamedTuple):
     """Host-built index arrays, one row per internal edge."""
     iu: np.ndarray        # [n] postorder idx of child node u
     iv: np.ndarray        # [n] postorder idx of parent node v
-    slot_a: np.ndarray    # [n] slot of child a at u
-    slot_b: np.ndarray    # [n] slot of child b at u
-    slot_c: np.ndarray    # [n] slot of sibling c at v
-    has_c2: np.ndarray    # [n] 1 if v is root (second sibling exists)
-    slot_c2: np.ndarray   # [n] slot of second sibling at root
+    slot_c: np.ndarray    # [n] slot of the sibling c at v (u is 1-slot_c)
     edge_id: np.ndarray   # [n] central edge id
     # host bookkeeping for applying moves
     nodes_u: list
@@ -47,6 +47,7 @@ class NNICandidates(NamedTuple):
 
 
 def build_nni_candidates(tree: Tree, sched: TreeSchedule) -> NNICandidates:
+    L = sched.ntaxa
     order_idx = {v: i for i, v in enumerate(sched.postorder_nodes)}
     rows = []
     nodes_u, nodes_v = [], []
@@ -56,56 +57,45 @@ def build_nni_candidates(tree: Tree, sched: TreeSchedule) -> NNICandidates:
         u, v = pair
         if tree.is_leaf(u) or tree.is_leaf(v):
             continue
-        iu, iv = order_idx[u], order_idx[v]
-        u_slots = [k for k in range(3) if sched.child_valid[iu, k] > 0]
-        if len(u_slots) != 2:
-            continue  # u must be a binary internal node (not the root)
-        v_slots = [k for k in range(3) if sched.child_valid[iv, k] > 0]
-        k_u = next(k for k in v_slots
-                   if sched.child_is_leaf[iv, k] == 0
-                   and sched.child_ptr[iv, k] == iu
-                   and sched.child_edge[iv, k] == e)
-        sibs = [k for k in v_slots if k != k_u]
-        has_c2 = 1 if len(sibs) == 2 else 0
-        rows.append((iu, iv, u_slots[0], u_slots[1], sibs[0], has_c2,
-                     sibs[1] if has_c2 else 0, e))
+        iu = e - L  # internal node u owns edge L + postorder(u)
+        iv = order_idx[v]
+        k_u = 0 if int(sched.child_edge[iv, 0]) == e else 1
+        rows.append((iu, iv, 1 - k_u, e))
         nodes_u.append(u)
         nodes_v.append(v)
     if not rows:
         z = np.zeros(0, np.int32)
-        return NNICandidates(z, z, z, z, z, z, z, z, [], [])
+        return NNICandidates(z, z, z, z, [], [])
     arr = np.asarray(rows, dtype=np.int32)
     return NNICandidates(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
-                         arr[:, 4], arr[:, 5], arr[:, 6], arr[:, 7],
                          nodes_u, nodes_v)
 
 
 @functools.partial(jax.jit, static_argnames=("n_newton", "return_site_lp",
                                              "nonrev"))
-def evaluate_nnis(cand_arrays, blens, dp_msgs, dp_msg_scale, up_in, up_scale,
-                  pack, pattern_weights, t_min, t_max, n_newton: int = 4,
-                  return_site_lp: bool = False, nonrev: bool = False):
+def evaluate_nnis(cand_arrays, blens, dp: pruning.DownPass, up_in, up_scale,
+                  sched, pack, pattern_weights, t_min, t_max,
+                  n_newton: int = 4, return_site_lp: bool = False,
+                  nonrev: bool = False):
     """Score both NNI variants (and the no-swap baseline) for all candidate
     edges at once. Returns (logl [n,3], t_opt [n,3]) where column 2 is the
     re-optimized current topology (baseline). With return_site_lp, also
     returns per-pattern log-likelihoods [n, 3, Ppat] (for SH-aLRT RELL)."""
-    iu, iv, sa, sb, sc_, hc2, sc2, eid = cand_arrays
+    iu, iv, slot_c, eid = cand_arrays
     log_ptn_invar = pack["log_ptn_invar"]
+    child_src = sched["child_src"]
+    child_edge = sched["child_edge"]
+    P = pruning.transition_tensors(blens.astype(dp.all.dtype), pack)
 
-    def one(iu_, iv_, sa_, sb_, sc__, hc2_, sc2_, eid_):
-        m_a = dp_msgs[iu_, sa_]
-        m_b = dp_msgs[iu_, sb_]
-        m_c = dp_msgs[iv_, sc__]
-        s_a = dp_msg_scale[iu_, sa_]
-        s_b = dp_msg_scale[iu_, sb_]
-        s_c = dp_msg_scale[iv_, sc__]
+    def one(iu_, iv_, sc__, eid_):
+        m_a, s_a = pruning.gather_messages(dp, P, child_src[iu_, 0],
+                                           child_edge[iu_, 0])
+        m_b, s_b = pruning.gather_messages(dp, P, child_src[iu_, 1],
+                                           child_edge[iu_, 1])
+        m_c, s_c = pruning.gather_messages(dp, P, child_src[iv_, sc__],
+                                           child_edge[iv_, sc__])
         rest = up_in[iv_]
         s_rest = up_scale[iv_]
-        dtype = m_a.dtype
-        m_c2 = jnp.where(hc2_ > 0, dp_msgs[iv_, sc2_], jnp.ones((), dtype))
-        s_c2 = jnp.where(hc2_ > 0, dp_msg_scale[iv_, sc2_], 0)
-        rest = rest * m_c2
-        s_rest = s_rest + s_c2
         t0 = blens[eid_]
 
         Uc = pack["U"][pack["cat_mix"]]
@@ -152,4 +142,4 @@ def evaluate_nnis(cand_arrays, blens, dp_msgs, dp_msg_scale, up_in, up_scale,
             return out + (jnp.stack([p0, p1, p2]),)
         return out
 
-    return jax.vmap(one)(iu, iv, sa, sb, sc_, hc2, sc2, eid)
+    return jax.vmap(one)(iu, iv, slot_c, eid)

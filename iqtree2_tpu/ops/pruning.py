@@ -10,8 +10,18 @@ computeLikelihoodBranchSIMD :2643, theta buffer :2050/:3196):
 
 Layout is category/state-major, **pattern-last** ([C, S, Ppat]) so the
 pattern axis rides the TPU lane dimension; the (S x S) contraction per edge
-is a small matmul batched over categories — XLA maps the pattern axis onto
-VPU lanes / MXU columns. Site patterns are the data-parallel shard axis.
+is a small matmul batched over (level-width x 2 children x categories) —
+one pruning *step* processes a whole level of independent nodes (see
+tree/schedule.py) so XLA sees one large batched contraction per step
+instead of one tiny matmul per node. Site patterns are the data-parallel
+shard axis.
+
+Partials for leaves and internal nodes live in ONE unified buffer
+([L + n_int, C, S, Ppat], tips broadcast over categories) so each step's
+inputs are a single gather; the up (pre-order) pass recomputes child
+messages from that buffer instead of storing them — O(partials) memory
+instead of 4x (reference contrast: one slab carved into per-branch views,
+tree/phylotree.cpp:795).
 
 Numerical scaling: partials are kept in [2^-B, 1] by per-pattern rescaling
 with 2^B (B=30 for float32, 256 for float64 — reference analog
@@ -110,73 +120,74 @@ def tip_partials(tip_codes, tip_table):
 
 
 class DownPass(NamedTuple):
-    partials: jax.Array      # [n_int, C, S, Ppat]
-    scale: jax.Array         # [n_int, Ppat] int32
-    msgs: jax.Array          # [n_int, 3, C, S, Ppat] child messages
-    msg_scale: jax.Array     # [n_int, 3, Ppat] child msg scale counts
+    all: jax.Array           # [L + n_int, C, S, Ppat] unified partials
+    scale: jax.Array         # [L + n_int, Ppat] int32 scale counts
 
 
-def down_pass(P, tipP, child_ptr, child_is_leaf, child_edge, child_valid,
-              *, keep_msgs: bool = True) -> DownPass:
-    """Post-order sweep computing internal-node partials.
+def down_pass(P, tipP, sched) -> DownPass:
+    """Post-order sweep computing internal-node partials, one level step at
+    a time (all nodes in a step are independent — see tree/schedule.py).
 
     P: [E, C, S, S] transition tensors; tipP: [L, S, Ppat] leaf partials.
-    Schedule arrays: [n_int, 3] (see tree/schedule.py).
+    sched: dict with child_src [n_int,2], child_edge [n_int,2],
+    step_node [n_steps, G] (padded with n_int).
     """
     dtype = tipP.dtype
     thresh, rescale, _ = scaling_consts(dtype)
-    n_int = child_ptr.shape[0]
+    child_src = sched["child_src"]
+    child_edge = sched["child_edge"]
+    step_node = sched["step_node"]
+    n_int = child_src.shape[0]
     C, S = P.shape[1], P.shape[2]
-    Pp = tipP.shape[2]
-    L = tipP.shape[0]
+    L, _, Pp = tipP.shape
 
-    B0 = jnp.zeros((n_int, C, S, Pp), dtype)
-    SC0 = jnp.zeros((n_int, Pp), jnp.int32)
-    M0 = jnp.zeros((n_int, 3, C, S, Pp), dtype) if keep_msgs else None
-    MS0 = jnp.zeros((n_int, 3, Pp), jnp.int32) if keep_msgs else None
+    ALL0 = jnp.zeros((L + n_int, C, S, Pp), dtype)
+    ALL0 = ALL0.at[:L].set(jnp.broadcast_to(tipP[:, None], (L, C, S, Pp)))
+    SC0 = jnp.zeros((L + n_int, Pp), jnp.int32)
 
-    def body(carry, xs):
-        B, SC, M, MS = carry
-        i, ptr, isleaf, eids, valid = xs
-        prod = jnp.ones((C, S, Pp), dtype)
-        sc = jnp.zeros((Pp,), jnp.int32)
-        step_msgs = []
-        step_msc = []
-        for k in range(3):  # static unroll over child slots
-            def leaf_src(ptr_k=ptr[k]):
-                idx = jnp.clip(ptr_k, 0, L - 1)
-                return jnp.broadcast_to(tipP[idx][None], (C, S, Pp))
-
-            def int_src(ptr_k=ptr[k]):
-                idx = jnp.clip(ptr_k, 0, n_int - 1)
-                return B[idx]
-
-            src = jax.lax.cond(isleaf[k] > 0, leaf_src, int_src)
-            msg = jnp.einsum("cxy,cyp->cxp", P[eids[k]], src, precision=HIGHEST)
-            msg = jnp.where(valid[k] > 0, msg, jnp.ones((), dtype))
-            msc = jnp.where(
-                (valid[k] > 0) & (isleaf[k] == 0),
-                SC[jnp.clip(ptr[k], 0, n_int - 1)], 0)
-            prod = prod * msg
-            sc = sc + msc
-            step_msgs.append(msg)
-            step_msc.append(msc)
-        # per-pattern rescale
-        mx = prod.max(axis=(0, 1))
+    def body(carry, nid):  # nid: [G] postorder indices (pad = n_int)
+        ALL, SC = carry
+        nid_c = jnp.minimum(nid, n_int - 1)
+        src_idx = child_src[nid_c]                      # [G, 2]
+        eids = child_edge[nid_c]                        # [G, 2]
+        src = ALL[src_idx]                              # [G, 2, C, S, Pp]
+        Pe = P[eids]                                    # [G, 2, C, S, S]
+        msg = jnp.einsum("gkcxy,gkcyp->gkcxp", Pe, src, precision=HIGHEST)
+        prod = msg[:, 0] * msg[:, 1]                    # [G, C, S, Pp]
+        sc = SC[src_idx[:, 0]] + SC[src_idx[:, 1]]      # [G, Pp] int32
+        mx = prod.max(axis=(1, 2))
         need = mx < thresh
-        prod = prod * jnp.where(need, rescale, 1.0).astype(dtype)[None, None]
+        prod = prod * jnp.where(need, rescale,
+                                1.0).astype(dtype)[:, None, None]
         sc = sc + need.astype(jnp.int32)
-        B = B.at[i].set(prod)
-        SC = SC.at[i].set(sc)
-        if M is not None:
-            M = M.at[i].set(jnp.stack(step_msgs))
-            MS = MS.at[i].set(jnp.stack(step_msc))
-        return (B, SC, M, MS), None
+        out_idx = jnp.where(nid < n_int, L + nid, L + n_int)  # pad -> OOB
+        ALL = ALL.at[out_idx].set(prod, mode="drop")
+        SC = SC.at[out_idx].set(sc, mode="drop")
+        return (ALL, SC), None
 
-    xs = (jnp.arange(n_int), child_ptr, child_is_leaf, child_edge,
-          child_valid)
-    (B, SC, M, MS), _ = jax.lax.scan(body, (B0, SC0, M0, MS0), xs)
-    return DownPass(B, SC, M, MS)
+    (ALL, SC), _ = jax.lax.scan(body, (ALL0, SC0), step_node)
+    return DownPass(ALL, SC)
+
+
+def gather_messages(dp: DownPass, P, src_idx, eids):
+    """Recompute child messages msg = P_e @ partial[src] for arbitrary index
+    arrays (used by NNI evaluation — messages are no longer stored).
+
+    src_idx/eids: [...]; returns (msg [..., C, S, Ppat], scale [..., Ppat]).
+    """
+    src = dp.all[src_idx]
+    msg = jnp.einsum("...cxy,...cyp->...cxp", P[eids], src,
+                     precision=HIGHEST)
+    return msg, dp.scale[src_idx]
+
+
+def root_partial(dp: DownPass, P, tipP, n_int: int):
+    """Combined root partial B_root * (P_0 @ tip_0): folds the message from
+    leaf 0 (which the schedule excludes from the traversal) into the root.
+    Returns ([C, S, Ppat], scale [Ppat])."""
+    L = tipP.shape[0]
+    m0 = jnp.einsum("cxy,yp->cxp", P[0], tipP[0], precision=HIGHEST)
+    return dp.all[L + n_int - 1] * m0, dp.scale[L + n_int - 1]
 
 
 def root_loglik(Broot, SCroot, root_freqs, cat_weight, log_ptn_invar,
@@ -221,10 +232,10 @@ def tree_loglik(blens, tipP, sched, pack, pattern_weights,
     (eigvals,U,V,cat_rate,cat_mix,cat_weight,root_freqs,log_ptn_invar).
     """
     P = transition_tensors(blens.astype(tipP.dtype), pack)
-    dp = down_pass(P, tipP, sched["child_ptr"], sched["child_is_leaf"],
-                   sched["child_edge"], sched["child_valid"],
-                   keep_msgs=False)
-    return root_loglik(dp.partials[-1], dp.scale[-1], pack["root_freqs"],
+    dp = down_pass(P, tipP, sched)
+    n_int = sched["child_src"].shape[0]
+    Broot, SCroot = root_partial(dp, P, tipP, n_int)
+    return root_loglik(Broot, SCroot, pack["root_freqs"],
                        pack["cat_weight"], pack["log_ptn_invar"],
                        pattern_weights, axis_name=axis_name,
                        asc_mask=pack.get("asc_mask"),
@@ -239,74 +250,83 @@ class UpPass(NamedTuple):
     up_scale: jax.Array      # [n_int, Ppat]
 
 
-def up_pass(P, dp: DownPass, child_ptr, child_is_leaf, child_edge,
-            child_valid, root_freqs) -> UpPass:
+def up_pass(P, dp: DownPass, tipP, sched, root_freqs) -> UpPass:
     """Pre-order sweep: for every edge e=(child v, parent u), compute
     E_e(c,x,p) = likelihood of everything outside v's subtree as a function
     of u's state x (stationary frequencies folded in at the root).
 
-    With E and the down partials, any branch's likelihood and its t-derivatives
-    are O(C*S*Ppat) — the theta-buffer trick (tree/phylokernelnew.h:2050).
+    Level-batched like down_pass (same steps, reversed order — a node's
+    parent is always in a later down-step, hence an earlier up-step).
+    Child messages are recomputed from the unified partial buffer rather
+    than read from storage: one extra contraction per edge in exchange for
+    never materializing [n_int, 3, C, S, Ppat].
+
+    With E and the down partials, any branch's likelihood and its
+    t-derivatives are O(C*S*Ppat) — the theta-buffer trick
+    (tree/phylokernelnew.h:2050).
     """
-    dtype = dp.partials.dtype
+    dtype = dp.all.dtype
     thresh, rescale, _ = scaling_consts(dtype)
-    n_int, _, C, S, Pp = dp.msgs.shape
+    child_src = sched["child_src"]
+    child_edge = sched["child_edge"]
+    step_node = sched["step_node"]
+    n_int = child_src.shape[0]
+    C, S = P.shape[1], P.shape[2]
+    L, _, Pp = tipP.shape
     n_edges = P.shape[0]
 
-    # UP[i] = outside-likelihood at internal node i (pattern of its state)
+    # UP[i] = outside-likelihood at internal node i (function of its state).
+    # Root: everything outside the root's two scheduled subtrees = the
+    # stationary frequencies times the message from leaf 0.
     UP0 = jnp.zeros((n_int, C, S, Pp), dtype)
     UPS0 = jnp.zeros((n_int, Pp), jnp.int32)
-    root_out = jnp.broadcast_to(root_freqs[:, :, None], (C, S, Pp))
-    UP0 = UP0.at[n_int - 1].set(root_out.astype(dtype))
+    m0 = jnp.einsum("cxy,yp->cxp", P[0], tipP[0], precision=HIGHEST)
+    UP0 = UP0.at[n_int - 1].set(root_freqs[:, :, None] * m0)
     E0 = jnp.zeros((n_edges, C, S, Pp), dtype)
     ES0 = jnp.zeros((n_edges, Pp), jnp.int32)
+    # E for leaf 0's edge: the root's own down partial times the frequencies
+    E0 = E0.at[0].set(root_freqs[:, :, None] * dp.all[L + n_int - 1])
+    ES0 = ES0.at[0].set(dp.scale[L + n_int - 1])
 
-    def body(carry, xs):
+    def body(carry, nid):  # nid: [G] postorder indices (pad = n_int)
         UP, UPS, E, ES = carry
-        i, ptr, isleaf, eids, valid = xs
-        up_i = UP[i]
-        ups_i = UPS[i]
-        msgs = dp.msgs[i]          # [3, C, S, Pp]
-        mscs = dp.msg_scale[i]     # [3, Pp]
-        for k in range(3):  # static unroll
-            # product of the *other* children's messages
-            prod = up_i
-            sc = ups_i
-            for k2 in range(3):
-                if k2 == k:
-                    continue
-                prod = prod * jnp.where(valid[k2] > 0, msgs[k2],
-                                        jnp.ones((), dtype))
-                sc = sc + jnp.where(valid[k2] > 0, mscs[k2], 0)
-            # rescale E before storing
-            mx = prod.max(axis=(0, 1))
-            need = mx < thresh
-            prod = prod * jnp.where(need, rescale,
-                                    1.0).astype(dtype)[None, None]
-            sc = sc + need.astype(jnp.int32)
-            ok = valid[k] > 0
-            e_idx = jnp.where(ok, eids[k], n_edges)  # OOB write dropped
-            E = E.at[e_idx].set(jnp.where(ok, prod, E[jnp.minimum(
-                e_idx, n_edges - 1)]), mode="drop")
-            ES = ES.at[e_idx].set(jnp.where(ok, sc, 0), mode="drop")
-            # propagate to internal children: up[child] = E_e^T P_e
-            is_int = ok & (isleaf[k] == 0)
-            up_child = jnp.einsum("cxy,cxp->cyp", P[eids[k]], prod, precision=HIGHEST)
-            mx2 = up_child.max(axis=(0, 1))
-            need2 = mx2 < thresh
-            up_child = up_child * jnp.where(need2, rescale,
-                                            1.0).astype(dtype)[None, None]
-            sc2 = sc + need2.astype(jnp.int32)
-            c_idx = jnp.where(is_int, ptr[k], n_int)
-            UP = UP.at[c_idx].set(jnp.where(is_int, up_child, 0.0),
-                                  mode="drop")
-            UPS = UPS.at[c_idx].set(jnp.where(is_int, sc2, 0), mode="drop")
+        nid_c = jnp.minimum(nid, n_int - 1)
+        src_idx = child_src[nid_c]                      # [G, 2]
+        eids = child_edge[nid_c]                        # [G, 2]
+        src = dp.all[src_idx]                           # [G, 2, C, S, Pp]
+        Pe = P[eids]                                    # [G, 2, C, S, S]
+        msg = jnp.einsum("gkcxy,gkcyp->gkcxp", Pe, src, precision=HIGHEST)
+        msc = dp.scale[src_idx]                         # [G, 2, Pp]
+        up = UP[nid_c]                                  # [G, C, S, Pp]
+        ups = UPS[nid_c]                                # [G, Pp]
+        # E for slot k = up * msg[other slot]
+        Es = up[:, None] * msg[:, ::-1]                 # [G, 2, C, S, Pp]
+        Esc = ups[:, None] + msc[:, ::-1]               # [G, 2, Pp]
+        mx = Es.max(axis=(2, 3))
+        need = mx < thresh
+        Es = Es * jnp.where(need, rescale,
+                            1.0).astype(dtype)[:, :, None, None]
+        Esc = Esc + need.astype(jnp.int32)
+        ok = nid < n_int
+        e_idx = jnp.where(ok[:, None], eids, n_edges)   # pad -> OOB drop
+        E = E.at[e_idx].set(Es, mode="drop")
+        ES = ES.at[e_idx].set(Esc, mode="drop")
+        # propagate to internal children: up[child] = P_e^T E_e
+        up_child = jnp.einsum("gkcxy,gkcxp->gkcyp", Pe, Es,
+                              precision=HIGHEST)
+        mx2 = up_child.max(axis=(2, 3))
+        need2 = mx2 < thresh
+        up_child = up_child * jnp.where(need2, rescale,
+                                        1.0).astype(dtype)[:, :, None, None]
+        sc2 = Esc + need2.astype(jnp.int32)
+        is_int = ok[:, None] & (src_idx >= L)
+        c_idx = jnp.where(is_int, src_idx - L, n_int)   # pad -> OOB drop
+        UP = UP.at[c_idx].set(up_child, mode="drop")
+        UPS = UPS.at[c_idx].set(sc2, mode="drop")
         return (UP, UPS, E, ES), None
 
-    n_idx = jnp.arange(n_int - 1, -1, -1)
-    xs = (n_idx, child_ptr[::-1], child_is_leaf[::-1], child_edge[::-1],
-          child_valid[::-1])
-    (UP, UPS, E, ES), _ = jax.lax.scan(body, (UP0, UPS0, E0, ES0), xs)
+    (UP, UPS, E, ES), _ = jax.lax.scan(body, (UP0, UPS0, E0, ES0),
+                                       step_node[::-1])
     return UpPass(E, ES, UP, UPS)
 
 
@@ -316,34 +336,21 @@ class Thetas(NamedTuple):
     scale: jax.Array        # [E, Ppat] total scale counts
 
 
-def edge_down_partials(dp: DownPass, tipP, n_edges: int):
-    """Per-edge child-side partials (leaf or internal) + scale counts.
-
-    Edge id convention: leaves own edges 0..L-1, internal node (postorder j)
-    owns edge L+j."""
-    C, S, Pp = dp.partials.shape[1:]
-    L = tipP.shape[0]
-    dtype = dp.partials.dtype
-    down = jnp.zeros((n_edges, C, S, Pp), dtype)
-    down_sc = jnp.zeros((n_edges, Pp), jnp.int32)
-    leafD = jnp.broadcast_to(tipP[:, None, :, :], (L, C, S, Pp))
-    down = down.at[:L].set(leafD.astype(dtype))
-    down = down.at[L:].set(dp.partials[: n_edges - L])
-    down_sc = down_sc.at[L:].set(dp.scale[: n_edges - L])
-    return down, down_sc
+def edge_down_partials(dp: DownPass, edge_src):
+    """Per-edge child-side partials (leaf or internal) + scale counts: a
+    single gather from the unified buffer by each edge's source index."""
+    return dp.all[edge_src], dp.scale[edge_src]
 
 
-def edge_thetas(up: UpPass, dp: DownPass, tipP, child_ptr, child_is_leaf,
-                child_valid, pack) -> Thetas:
+def edge_thetas(up: UpPass, dp: DownPass, edge_src, pack) -> Thetas:
     """theta_e(c,k,p) = (sum_x E_e(c,x,p) U(c,x,k)) (sum_y V(c,k,y) D_e(c,y,p))
 
     where D_e is the down partial of the child endpoint of e. Branch
     likelihood: f(t) = sum_k theta_k exp(lambda_k r_c t) per category.
     """
-    n_edges = up.edge_E.shape[0]
     Uc = pack["U"][pack["cat_mix"]]   # [C, S, S]
     Vc = pack["V"][pack["cat_mix"]]
-    down, down_sc = edge_down_partials(dp, tipP, n_edges)
+    down, down_sc = edge_down_partials(dp, edge_src)
     a = jnp.einsum("cxk,ecxp->eckp", Uc, up.edge_E, precision=HIGHEST)
     b = jnp.einsum("cky,ecyp->eckp", Vc, down, precision=HIGHEST)
     theta = a * b

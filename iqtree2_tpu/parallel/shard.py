@@ -88,15 +88,9 @@ def sharded_optimize_step_fn(mesh: Mesh, pack, n_newton: int = 4):
     def step(blens, tipP, sched, pack, pw, t_min, t_max):
         dtype = tipP.dtype
         Pm = pruning.transition_tensors(blens.astype(dtype), pack)
-        dp = pruning.down_pass(Pm, tipP, sched["child_ptr"],
-                               sched["child_is_leaf"], sched["child_edge"],
-                               sched["child_valid"], keep_msgs=True)
-        up = pruning.up_pass(Pm, dp, sched["child_ptr"],
-                             sched["child_is_leaf"], sched["child_edge"],
-                             sched["child_valid"], pack["root_freqs"])
-        th = pruning.edge_thetas(up, dp, tipP, sched["child_ptr"],
-                                 sched["child_is_leaf"],
-                                 sched["child_valid"], pack)
+        dp = pruning.down_pass(Pm, tipP, sched)
+        up = pruning.up_pass(Pm, dp, tipP, sched, pack["root_freqs"])
+        th = pruning.edge_thetas(up, dp, sched["edge_src"], pack)
         newton = jax.vmap(
             lambda t_e, th_e, sc_e: pruning.newton_branch_step(
                 th_e, sc_e, t_e, pack, pack["log_ptn_invar"], pw,

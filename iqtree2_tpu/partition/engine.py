@@ -90,16 +90,9 @@ def _multi_opt_blens(blens, rks, parts, sched, pws, t_min, t_max,
         thetas, scales, packs = [], [], []
         for (tipP, pack), rk in zip(parts, rks_t):
             P = pruning.transition_tensors((blens * rk).astype(dtype), pack)
-            dp = pruning.down_pass(P, tipP, sched["child_ptr"],
-                                   sched["child_is_leaf"],
-                                   sched["child_edge"],
-                                   sched["child_valid"], keep_msgs=True)
-            up = pruning.up_pass(P, dp, sched["child_ptr"],
-                                 sched["child_is_leaf"], sched["child_edge"],
-                                 sched["child_valid"], pack["root_freqs"])
-            th = pruning.edge_thetas(up, dp, tipP, sched["child_ptr"],
-                                     sched["child_is_leaf"],
-                                     sched["child_valid"], pack)
+            dp = pruning.down_pass(P, tipP, sched)
+            up = pruning.up_pass(P, dp, tipP, sched, pack["root_freqs"])
+            th = pruning.edge_thetas(up, dp, sched["edge_src"], pack)
             thetas.append(th.theta)
             scales.append(th.scale)
             packs.append(pack)
@@ -132,39 +125,36 @@ def _multi_opt_blens(blens, rks, parts, sched, pws, t_min, t_max,
 
 
 @functools.partial(jax.jit, static_argnames=("n_newton", "return_site_lp"))
-def _multi_nni_eval(cand_arrays, blens, rks, buffers, packs, pws,
+def _multi_nni_eval(cand_arrays, blens, rks, buffers, packs, pws, sched,
                     t_min, t_max, n_newton: int = 4,
                     return_site_lp: bool = False):
     """Joint NNI scoring across linked partitions.
 
-    buffers: tuple of (dp_msgs, dp_msg_scale, up_in, up_scale) per partition.
+    buffers: tuple of (DownPass, up_in, up_scale, P) per partition.
     Returns (logl [n,3], t_opt [n,3]); the central branch of every variant is
     re-optimized jointly over partitions (reference analog:
     PhyloSuperTreePlen NNI bookkeeping, tree/phylosupertreeplen.cpp).
     """
-    iu, iv, sa, sb, sc_, hc2, sc2, eid = cand_arrays
-    dtype = buffers[0][0].dtype
+    iu, iv, sc_, eid = cand_arrays
+    dtype = buffers[0][0].all.dtype
     rks_t = [jnp.asarray(r, dtype) for r in rks]
+    child_src = sched["child_src"]
+    child_edge = sched["child_edge"]
 
-    def one(iu_, iv_, sa_, sb_, sc__, hc2_, sc2_, eid_):
+    def one(iu_, iv_, sc__, eid_):
         t0 = blens[eid_]
         # per-partition theta buffers for the three variants
         var_thetas = [[], [], []]
         var_scales = [[], [], []]
-        for (dp_msgs, dp_msc, up_in, up_sc), pack in zip(buffers, packs):
-            m_a = dp_msgs[iu_, sa_]
-            m_b = dp_msgs[iu_, sb_]
-            m_c = dp_msgs[iv_, sc__]
-            s_a = dp_msc[iu_, sa_]
-            s_b = dp_msc[iu_, sb_]
-            s_c = dp_msc[iv_, sc__]
+        for (dp, up_in, up_sc, P), pack in zip(buffers, packs):
+            m_a, s_a = pruning.gather_messages(dp, P, child_src[iu_, 0],
+                                               child_edge[iu_, 0])
+            m_b, s_b = pruning.gather_messages(dp, P, child_src[iu_, 1],
+                                               child_edge[iu_, 1])
+            m_c, s_c = pruning.gather_messages(dp, P, child_src[iv_, sc__],
+                                               child_edge[iv_, sc__])
             rest = up_in[iv_]
             s_rest = up_sc[iv_]
-            m_c2 = jnp.where(hc2_ > 0, dp_msgs[iv_, sc2_],
-                             jnp.ones((), dtype))
-            s_c2 = jnp.where(hc2_ > 0, dp_msc[iv_, sc2_], 0)
-            rest = rest * m_c2
-            s_rest = s_rest + s_c2
             Uc = pack["U"][pack["cat_mix"]]
             Vc = pack["V"][pack["cat_mix"]]
 
@@ -207,20 +197,16 @@ def _multi_nni_eval(cand_arrays, blens, rks, buffers, packs, pws,
                                 for k in range(len(packs))),)
         return out
 
-    return jax.vmap(one)(iu, iv, sa, sb, sc_, hc2, sc2, eid)
+    return jax.vmap(one)(iu, iv, sc_, eid)
 
 
 @jax.jit
 def _passes_buffers(blens, tipP, sched, pack):
-    """Down+up passes -> (msgs, msg_scale, up_in, up_scale) for NNI eval."""
+    """Down+up passes -> (DownPass, up_in, up_scale, P) for NNI eval."""
     P = pruning.transition_tensors(blens.astype(tipP.dtype), pack)
-    dp = pruning.down_pass(P, tipP, sched["child_ptr"],
-                           sched["child_is_leaf"], sched["child_edge"],
-                           sched["child_valid"], keep_msgs=True)
-    up = pruning.up_pass(P, dp, sched["child_ptr"], sched["child_is_leaf"],
-                         sched["child_edge"], sched["child_valid"],
-                         pack["root_freqs"])
-    return dp.msgs, dp.msg_scale, up.up_in, up.up_scale
+    dp = pruning.down_pass(P, tipP, sched)
+    up = pruning.up_pass(P, dp, tipP, sched, pack["root_freqs"])
+    return dp, up.up_in, up.up_scale, P
 
 
 # ------------------------------------------------------------------- engine
@@ -415,7 +401,7 @@ class PartitionEngine:
                                            e._dev_tipP, sa, e._dev_pack))
         out = _multi_nni_eval(
             cand_arrays, blens, self._rks(), tuple(buffers), self._packs(),
-            self._pws(), jnp.asarray(t_min, self.dtype),
+            self._pws(), sa, jnp.asarray(t_min, self.dtype),
             jnp.asarray(t_max, self.dtype), return_site_lp=return_site_lp)
         if return_site_lp:
             logl, t_opt, lps = out

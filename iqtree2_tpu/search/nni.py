@@ -26,10 +26,10 @@ class NNIResult:
 
 
 def _slot_node(tree: Tree, sched, i_node: int, slot: int) -> int:
-    ptr = int(sched.child_ptr[i_node, slot])
-    if sched.child_is_leaf[i_node, slot]:
-        return ptr
-    return sched.postorder_nodes[ptr]
+    src = int(sched.child_src[i_node, slot])
+    if src < sched.ntaxa:
+        return src
+    return sched.postorder_nodes[src - sched.ntaxa]
 
 
 def nni_optimize(eng: LikelihoodEngine, tree: Tree,
@@ -50,9 +50,7 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
         if len(cand.nodes_u) == 0:
             break
         cand_arrays = (jnp.asarray(cand.iu), jnp.asarray(cand.iv),
-                       jnp.asarray(cand.slot_a), jnp.asarray(cand.slot_b),
-                       jnp.asarray(cand.slot_c), jnp.asarray(cand.has_c2),
-                       jnp.asarray(cand.slot_c2), jnp.asarray(cand.edge_id))
+                       jnp.asarray(cand.slot_c), jnp.asarray(cand.edge_id))
         logl, t_opt = eng.evaluate_nni_batch(sched, cand_arrays)
 
         base = logl[:, 2]
@@ -70,11 +68,11 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
             if u in used_nodes or v in used_nodes:
                 continue
             var = int(best_var[ci])
-            # variant 0 swaps child at slot_b with sibling c;
-            # variant 1 swaps child at slot_a with sibling c
+            # variant 0 swaps child at slot 1 (b) with sibling c;
+            # variant 1 swaps child at slot 0 (a) with sibling c
             iu, iv = int(cand.iu[ci]), int(cand.iv[ci])
-            moved_slot = cand.slot_b[ci] if var == 0 else cand.slot_a[ci]
-            x = _slot_node(tree, sched, iu, int(moved_slot))
+            moved_slot = 1 if var == 0 else 0
+            x = _slot_node(tree, sched, iu, moved_slot)
             c = _slot_node(tree, sched, iv, int(cand.slot_c[ci]))
             tree.swap_subtrees(u, x, v, c)
             tree.set_blen(u, v, float(t_opt[ci, var]))

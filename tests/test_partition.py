@@ -149,9 +149,7 @@ def test_partition_nni_eval_consistent():
     sched = build_schedule(tree)
     cand = build_nni_candidates(tree, sched)
     cand_arrays = tuple(jnp.asarray(x) for x in
-                        (cand.iu, cand.iv, cand.slot_a, cand.slot_b,
-                         cand.slot_c, cand.has_c2, cand.slot_c2,
-                         cand.edge_id))
+                        (cand.iu, cand.iv, cand.slot_c, cand.edge_id))
     logl, t_opt = peng.evaluate_nni_batch(sched, cand_arrays)
     # baseline column re-optimizes the central branch, so >= logL - eps
     assert (logl[:, 2] >= logL - 1e-4).all()
