@@ -36,6 +36,7 @@ index arrays (schedule), so NNI moves never recompile.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -124,14 +125,55 @@ class DownPass(NamedTuple):
     scale: jax.Array         # [L + n_int, Ppat] int32 scale counts
 
 
+def _pallas_env_ok(tipP, C: int) -> bool:
+    """Trace-time statics: float32 partials, TPU backend, small CS."""
+    if os.environ.get("IQTREE2_TPU_DISABLE_PALLAS"):
+        return False
+    if tipP.dtype != jnp.float32:
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    return C * tipP.shape[1] <= 32
+
+
 def down_pass(P, tipP, sched) -> DownPass:
-    """Post-order sweep computing internal-node partials, one level step at
-    a time (all nodes in a step are independent — see tree/schedule.py).
+    """Post-order sweep computing internal-node partials.
 
     P: [E, C, S, S] transition tensors; tipP: [L, S, Ppat] leaf partials.
     sched: dict with child_src [n_int,2], child_edge [n_int,2],
     step_node [n_steps, G] (padded with n_int).
+
+    On TPU/float32, runs as a whole-traversal Pallas kernel that exports
+    the internal partials; otherwise a level-batched XLA scan.
     """
+    C = P.shape[1]
+    if _pallas_env_ok(tipP, C):
+        from iqtree2_tpu.ops import pallas_pruning
+        S = tipP.shape[1]
+        pt = pallas_pruning.pick_pattern_tile_export(
+            tipP.shape[2], tipP.shape[0], sched["child_src"].shape[0],
+            C * S, S, sched["edge_src"].shape[0])
+        if pt is not None:
+            all_int, sc_int = pallas_pruning.down_pass_pallas(
+                sched["child_src"].reshape(-1),
+                sched["child_edge"].reshape(-1), tipP, P, pt=pt)
+            L, _, Pp = tipP.shape
+            tips_b = jnp.broadcast_to(tipP[:, None],
+                                      (L, C, S, Pp)).astype(jnp.float32)
+            ALL = jnp.concatenate([tips_b, all_int], axis=0)
+            SC = jnp.concatenate(
+                [jnp.zeros((L, Pp), jnp.int32), sc_int.astype(jnp.int32)],
+                axis=0)
+            return DownPass(ALL, SC)
+    return _down_pass_xla(P, tipP, sched)
+
+
+def _down_pass_xla(P, tipP, sched) -> DownPass:
+    """Level-batched XLA scan fallback (any dtype / backend)."""
     dtype = tipP.dtype
     thresh, rescale, _ = scaling_consts(dtype)
     child_src = sched["child_src"]
@@ -212,6 +254,14 @@ def root_loglik(Broot, SCroot, root_freqs, cat_weight, log_ptn_invar,
     lp = jnp.log(jnp.maximum(site, tiny)) \
         - SCroot.astype(dtype) * jnp.asarray(log_rescale, dtype)
     lp = jnp.logaddexp(lp, log_ptn_invar)
+    return finalize_loglik(lp, pattern_weights, axis_name=axis_name,
+                           asc_mask=asc_mask, asc_nsites=asc_nsites)
+
+
+def finalize_loglik(lp, pattern_weights, axis_name: str | None = None,
+                    asc_mask=None, asc_nsites=None):
+    """(logL, lp) from per-pattern log-likelihoods: weighted sum, optional
+    mesh psum, optional Lewis +ASC correction."""
     logL = jnp.sum(pattern_weights * lp)
     if axis_name is not None:
         logL = jax.lax.psum(logL, axis_name)
@@ -224,14 +274,55 @@ def root_loglik(Broot, SCroot, root_freqs, cat_weight, log_ptn_invar,
     return logL, lp
 
 
+def _pallas_tile(tipP, pack, sched) -> int | None:
+    """Pattern-tile size if the Pallas traversal kernel applies, else None.
+
+    All checks are trace-time statics: float32 partials, a TPU backend, a
+    block-diagonal operator small enough for VMEM (CS <= 32 covers DNA /
+    binary / morphology with any Gamma/FreeRate category count up to 8x4).
+    """
+    if os.environ.get("IQTREE2_TPU_DISABLE_PALLAS"):
+        return None
+    if tipP.dtype != jnp.float32:
+        return None
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return None
+    if platform not in ("tpu", "axon"):
+        return None
+    C = pack["cat_rate"].shape[0]
+    S = tipP.shape[1]
+    if C * S > 32:
+        return None
+    from iqtree2_tpu.ops import pallas_pruning
+    return pallas_pruning.pick_pattern_tile(
+        tipP.shape[2], tipP.shape[0], sched["child_src"].shape[0],
+        C * S, S, sched["edge_src"].shape[0])
+
+
 def tree_loglik(blens, tipP, sched, pack, pattern_weights,
                 axis_name: str | None = None):
     """Full tree log-likelihood in one call.
 
     sched: dict of device schedule arrays; pack: dict of model arrays
     (eigvals,U,V,cat_rate,cat_mix,cat_weight,root_freqs,log_ptn_invar).
+
+    On TPU with float32 and a small state-category product, the whole
+    traversal runs as one Pallas kernel (ops/pallas_pruning.py); otherwise
+    the XLA level-batched scan path is used.
     """
     P = transition_tensors(blens.astype(tipP.dtype), pack)
+    pt = _pallas_tile(tipP, pack, sched)
+    if pt is not None:
+        from iqtree2_tpu.ops import pallas_pruning
+        wf = (pack["cat_weight"][:, None] * pack["root_freqs"]).reshape(-1)
+        lp = pallas_pruning.down_sitelp_pallas(
+            sched["child_src"].reshape(-1), sched["child_edge"].reshape(-1),
+            tipP, P, wf, pack["log_ptn_invar"], pt=pt)
+        return finalize_loglik(lp, pattern_weights, axis_name=axis_name,
+                               asc_mask=pack.get("asc_mask"),
+                               asc_nsites=pack.get("asc_nsites"))
     dp = down_pass(P, tipP, sched)
     n_int = sched["child_src"].shape[0]
     Broot, SCroot = root_partial(dp, P, tipP, n_int)
@@ -254,6 +345,31 @@ def up_pass(P, dp: DownPass, tipP, sched, root_freqs) -> UpPass:
     """Pre-order sweep: for every edge e=(child v, parent u), compute
     E_e(c,x,p) = likelihood of everything outside v's subtree as a function
     of u's state x (stationary frequencies folded in at the root).
+
+    On TPU/float32, runs as a whole-traversal Pallas kernel; otherwise the
+    level-batched XLA scan below.
+    """
+    C = P.shape[1]
+    if _pallas_env_ok(tipP, C):
+        from iqtree2_tpu.ops import pallas_pruning
+        S = tipP.shape[1]
+        L = tipP.shape[0]
+        n_int = sched["child_src"].shape[0]
+        pt = pallas_pruning.pick_pattern_tile_up(
+            tipP.shape[2], L, n_int, C * S, S, sched["edge_src"].shape[0])
+        if pt is not None:
+            E, ES, UP, UPS = pallas_pruning.up_pass_pallas(
+                sched["child_src"].reshape(-1),
+                sched["child_edge"].reshape(-1), tipP,
+                dp.all[L:], dp.scale[L:].astype(jnp.float32), P,
+                root_freqs, pt=pt)
+            return UpPass(E, ES.astype(jnp.int32), UP,
+                          UPS.astype(jnp.int32))
+    return _up_pass_xla(P, dp, tipP, sched, root_freqs)
+
+
+def _up_pass_xla(P, dp: DownPass, tipP, sched, root_freqs) -> UpPass:
+    """Level-batched XLA scan fallback (any dtype / backend).
 
     Level-batched like down_pass (same steps, reversed order — a node's
     parent is always in a later down-step, hence an earlier up-step).
