@@ -45,6 +45,18 @@ class Logger:
             self.f.close()
 
 
+
+def _fit_model(eng, tree, eps, **kw):
+    """Model+branch refit that also accepts the PMSF SSFEngine (whose only
+    free parameters are branch lengths and the Gamma shape)."""
+    from iqtree2_tpu.model.pmsf import SSFEngine
+    if isinstance(eng, SSFEngine):
+        eng.optimize_branches(tree)
+        eng.optimize_alpha(tree)
+        return eng.optimize_branches(tree, n_rounds=4)
+    return optimize_model_parameters(eng, tree, epsilon=eps, **kw)
+
+
 def run_analysis(params: Params) -> dict:
     """Full single-alignment analysis. Returns a result summary dict."""
     t_start = time.time()
@@ -83,6 +95,36 @@ def run_analysis(params: Params) -> dict:
 
     rng = np.random.default_rng(params.seed)
 
+    # ---------------- PMSF two-pass (--pmsf) ------------------------------
+    # Reference: computeSiteFrequencyModel (main/phyloanalysis.cpp:3744):
+    # fit the profile mixture on a guide tree, derive posterior-mean site
+    # frequencies, then run the whole analysis under the (much cheaper)
+    # site-specific-frequency model.
+    if params.pmsf:
+        from iqtree2_tpu.model.mixture import MixtureModel
+        if not isinstance(model, MixtureModel):
+            raise SystemExit("--pmsf requires a profile mixture model "
+                             "(e.g. -m LG+C20+G)")
+        from iqtree2_tpu.model.pmsf import run_pmsf
+        if params.user_tree or params.start_tree:
+            gt_file = params.user_tree or params.start_tree
+            guide = Tree.from_newick(Path(gt_file).read_text(), aln.names)
+        else:
+            from iqtree2_tpu.ops.pars import random_stepwise_addition
+            guide = random_stepwise_addition(aln, rng)
+        log("PMSF guide fit (full mixture)...")
+        optimize_model_parameters(eng, guide,
+                                  epsilon=max(params.model_eps, 0.1))
+        ssf_eng, _, _, prof = run_pmsf(aln, eng, guide, log=log,
+                                       dtype=dtype)
+        with open(f"{prefix}.sitefreq", "w") as f:
+            for s in range(aln.nsites):
+                p = aln.site_to_pattern[s]
+                f.write(f"{s + 1} " +
+                        " ".join(f"{x:.6f}" for x in prof[p]) + "\n")
+        log(f"PMSF site frequencies written to {prefix}.sitefreq")
+        eng = ssf_eng   # downstream phases run under the SSF model
+
     # ---------------- tree: fixed topology or search ----------------------
     search_info = {}
     support = None
@@ -102,8 +144,7 @@ def run_analysis(params: Params) -> dict:
                 _optimize_model_only(eng, tree, params)
             logL = eng.loglik_tree(tree)
         else:
-            logL = optimize_model_parameters(eng, tree,
-                                             epsilon=params.model_eps)
+            logL = _fit_model(eng, tree, params.model_eps)
     else:
         sp = SearchParams(
             n_init_trees=params.n_init_trees,
@@ -118,20 +159,37 @@ def run_analysis(params: Params) -> dict:
             max_iterations=params.max_iterations,
             unsuccess_iteration=params.unsuccess_iteration,
             fixed_iterations=params.n_iterations)
-        search = TreeSearch(eng, aln, sp, ufboot=ufboot, log=log)
-        # initial quick model fit on a start tree before searching
-        log("Performing quick initial model optimization...")
-        from iqtree2_tpu.ops.pars import random_stepwise_addition
-        t0 = random_stepwise_addition(aln, rng)
-        optimize_model_parameters(eng, t0, epsilon=max(params.model_eps, 0.1))
-        res = search.run()
-        tree = res.best_tree
-        log(f"Search done: {res.n_iterations} iterations, "
-            f"best logL {res.best_logL:.4f}")
-        search_info["Number of iterations"] = res.n_iterations
+        search = TreeSearch(eng, aln, sp, ufboot=ufboot, log=log, ckp=ckp)
+        if ckp.get("search.finished") and not params.redo:
+            fin = ckp.get("search.finished")
+            tree = Tree.from_newick(fin["tree"], aln.names)
+            search_info["Number of iterations"] = fin["iterations"]
+            log(f"Search already finished per checkpoint "
+                f"(logL {fin['logL']:.4f})")
+            if ufboot is not None and ckp.get("search.ufboot") is not None:
+                ufboot.load_state_dict(ckp.get("search.ufboot"))
+            # model params evolve during the quick init + search; refit
+            _fit_model(eng, tree, max(params.model_eps, 0.1))
+        else:
+            # initial quick model fit on a start tree before searching
+            if not params.pmsf:
+                log("Performing quick initial model optimization...")
+                from iqtree2_tpu.ops.pars import random_stepwise_addition
+                t0 = random_stepwise_addition(aln, rng)
+                optimize_model_parameters(eng, t0,
+                                          epsilon=max(params.model_eps,
+                                                      0.1))
+            res = search.run()
+            tree = res.best_tree
+            log(f"Search done: {res.n_iterations} iterations, "
+                f"best logL {res.best_logL:.4f}")
+            search_info["Number of iterations"] = res.n_iterations
+            ckp.put("search.finished",
+                    {"tree": tree.to_newick(), "logL": res.best_logL,
+                     "iterations": res.n_iterations})
+            ckp.dump(force=True)
         # final thorough optimization
-        logL = optimize_model_parameters(eng, tree,
-                                         epsilon=params.model_eps)
+        logL = _fit_model(eng, tree, params.model_eps)
 
     # ---------------- supports -------------------------------------------
     if ufboot is not None:

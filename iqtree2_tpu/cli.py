@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-blmax", dest="max_branch_length", type=float,
                    default=10.0)
     p.add_argument("-me", dest="model_eps", type=float, default=0.01)
+    p.add_argument("--pmsf", dest="pmsf", action="store_true",
+                   help="posterior mean site frequency two-pass for "
+                        "profile mixtures (reference: "
+                        "computeSiteFrequencyModel)")
     p.add_argument("-redo", "--redo", dest="redo", action="store_true")
     p.add_argument("-wsl", dest="write_site_lh", action="store_true")
     p.add_argument("-wsr", dest="write_site_rate", action="store_true",

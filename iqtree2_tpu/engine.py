@@ -261,9 +261,36 @@ class LikelihoodEngine:
         self._dev_tipP = tipP
 
     # ------------------------------------------------------------- schedule
+    def _v2_enabled(self) -> bool:
+        import os
+        if os.environ.get("IQTREE2_TPU_DISABLE_PALLAS") or \
+                os.environ.get("IQTREE2_TPU_DISABLE_PALLAS2"):
+            return False
+        if self.dtype != jnp.float32:
+            return False
+        try:
+            return jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            return False
+
     def schedule_arrays(self, sched: TreeSchedule) -> dict:
-        return {k: jnp.asarray(v) for k, v in
-                sched.to_device_arrays().items()}
+        d = {k: jnp.asarray(v) for k, v in
+             sched.to_device_arrays().items()}
+        if self._v2_enabled():
+            from iqtree2_tpu.tree.plan2 import build_stream_plan, pick_tile
+            C = int(self.pack_np.cat_rate.shape[0])
+            plan = build_stream_plan(sched, S=self.aln.num_states, C=C)
+            pt = pick_tile(plan, self.Pp)
+            if pt is not None:
+                ms, sl = plan.scalar_arrays()
+                d.update(
+                    p2_meta_step=jnp.asarray(ms),
+                    p2_meta_slot=jnp.asarray(sl),
+                    p2_edge=jnp.asarray(plan.edge),
+                    p2_int=jnp.asarray(plan.is_int),
+                    p2_tip=jnp.asarray(plan.tip),
+                    p2_cfg=jnp.zeros((plan.ring_blocks, pt), jnp.int8))
+        return d
 
     # ------------------------------------------------------------ main API
     def loglik_tree(self, tree: Tree) -> float:
@@ -323,12 +350,34 @@ class LikelihoodEngine:
     def evaluate_nni_batch(self, sched, cand_arrays,
                            t_min: float = DEFAULT_MIN_BLEN,
                            t_max: float = DEFAULT_MAX_BLEN,
-                           return_site_lp: bool = False):
+                           return_site_lp: bool = False,
+                           nni5: bool = False):
         """Score all NNI candidates (both variants + baseline) in one jitted
         batch. Returns (logl [n,3], t_opt [n,3]) numpy arrays; with
-        return_site_lp also the per-pattern logLs [n, 3, num_patterns]."""
-        from iqtree2_tpu.ops.nni import evaluate_nnis
+        return_site_lp also the per-pattern logLs [n, 3, num_patterns].
+
+        nni5=True re-optimizes all five branches around each candidate
+        (reference: getBestNNIForBran NNI5 mode, tree/phylotree.cpp:4058)
+        and additionally returns t5 [n, 3, 5] optimized lengths for the
+        (a, b, c, d, e) branches. Falls back to central-branch-only for
+        nonreversible models."""
+        from iqtree2_tpu.ops.nni import evaluate_nnis, evaluate_nnis5
         dp, up, _ = self.compute_passes(sched)
+        if nni5 and self._dev_pack.get("Q") is None:
+            out = evaluate_nnis5(
+                cand_arrays, jnp.asarray(sched.blens, self.dtype),
+                dp, up, self.schedule_arrays(sched),
+                self._dev_pack, self._dev_pw,
+                jnp.asarray(t_min, self.dtype),
+                jnp.asarray(t_max, self.dtype),
+                return_site_lp=return_site_lp)
+            if return_site_lp:
+                logl, t_e, t5, lp = out
+                return (np.asarray(logl), np.asarray(t_e),
+                        np.asarray(t5),
+                        np.asarray(lp)[:, :, : self.aln.num_patterns])
+            logl, t_e, t5 = out
+            return np.asarray(logl), np.asarray(t_e), np.asarray(t5)
         out = evaluate_nnis(
             cand_arrays, jnp.asarray(sched.blens, self.dtype),
             dp, up.up_in, up.up_scale, self.schedule_arrays(sched),

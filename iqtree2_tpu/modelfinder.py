@@ -39,22 +39,28 @@ def rate_schemes(mode: str, max_rk: int = 10) -> list[str]:
 
 
 def candidate_models(aln: Alignment, mode: str = "MFP") -> list[str]:
+    """Flat candidate list (kept for introspection / tests)."""
+    out = []
+    for b in candidate_bases(aln):
+        for r in rate_schemes(mode):
+            out.append(b + r)
+    return out
+
+
+def candidate_bases(aln: Alignment) -> list[str]:
     st = aln.seqtype.name
     if st == "DNA":
-        bases = DNA_MODEL_NAMES
+        bases = list(DNA_MODEL_NAMES)
     elif st == "AA":
-        bases = AA_MODEL_NAMES
+        bases = []
+        for b in AA_MODEL_NAMES:
+            bases.append(b)
+            bases.append(b + "+F")
     elif st == "BIN":
         bases = ["JC2"]
     else:
         bases = ["MK"]
-    out = []
-    for b in bases:
-        for r in rate_schemes(mode):
-            out.append(b + r)
-            if st == "AA":
-                out.append(b + "+F" + r)
-    return out
+    return bases
 
 
 def information_scores(logL: float, df: int, n_sites: int) -> dict:
@@ -81,48 +87,76 @@ def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
     rng = np.random.default_rng(params.seed)
     if tree is None:
         tree = random_stepwise_addition(aln, rng)
-    cands = candidate_models(aln, mode)
-    log(f"ModelFinder: testing {len(cands)} candidate models "
+    bases = candidate_bases(aln)
+    base_rates = ["", "+I", "+G", "+I+G"]
+    lazy_rk = mode.upper() in ("MFP", "MF")
+    max_rk = 10
+    log(f"ModelFinder: testing {len(bases)} base models x rate schemes "
+        f"({'+R2..+R%d lazily' % max_rk if lazy_rk else 'TEST set'}) "
         f"on a fixed parsimony topology...")
 
     if ckp is not None:
         ckp.start_struct("ModelFinder")
     results = []
-    blen_cache = None
-    base_skip: set[str] = set()
-    for name in cands:
-        base = name.split("+")[0]
-        if base in base_skip:
-            continue
+    # branch lengths from the FIRST fit are reused for every later model
+    # (order-independent, unlike a rolling cache; reference keeps the
+    # ModelFinder tree fixed across candidates)
+    blen_cache: dict | None = None
+
+    def evaluate(name: str) -> dict | None:
+        nonlocal blen_cache
         if ckp is not None and ckp.has(name):
-            entry = ckp.get(name)
-        else:
-            try:
-                model, rates, extras = build_model(name, aln)
-            except ValueError:
-                base_skip.add(base)
-                continue
-            eng = LikelihoodEngine(aln, model, rates, dtype=jnp.float32,
-                                   asc=extras.get("asc", False))
-            t = tree.copy()
-            if blen_cache is not None:
-                for k, v in blen_cache.items():
-                    if k in t.blen:
-                        t.blen[k] = v
-            logL = optimize_model_parameters(
-                eng, t, epsilon=max(params.model_eps, 0.1), max_rounds=3,
-                blen_rounds=4)
+            return ckp.get(name)
+        try:
+            model, rates, extras = build_model(name, aln)
+        except ValueError:
+            return None
+        eng = LikelihoodEngine(aln, model, rates, dtype=jnp.float32,
+                               asc=extras.get("asc", False))
+        t = tree.copy()
+        if blen_cache is not None:
+            for k, v in blen_cache.items():
+                if k in t.blen:
+                    t.blen[k] = v
+        logL = optimize_model_parameters(
+            eng, t, epsilon=max(params.model_eps, 0.1), max_rounds=3,
+            blen_rounds=4)
+        if blen_cache is None:
             blen_cache = dict(t.blen)
-            df = (model.num_free_params() + rates.num_free_params()
-                  + t.num_edges())
-            entry = {"name": name, "logL": float(logL), "df": int(df)}
-            entry.update(information_scores(logL, df, aln.nsites))
-            if ckp is not None:
-                ckp.put(name, entry)
-                ckp.dump()
-        results.append(entry)
-        log(f"  {entry['name']:<18} logL {entry['logL']:.3f}  "
-            f"BIC {entry['BIC']:.3f}")
+        df = (model.num_free_params() + rates.num_free_params()
+              + t.num_edges())
+        entry = {"name": name, "logL": float(logL), "df": int(df)}
+        entry.update(information_scores(logL, df, aln.nsites))
+        if ckp is not None:
+            ckp.put(name, entry)
+            ckp.dump()
+        return entry
+
+    for base in bases:
+        bad_base = False
+        for r in base_rates:
+            entry = evaluate(base + r)
+            if entry is None:
+                bad_base = True
+                break
+            results.append(entry)
+            log(f"  {entry['name']:<18} logL {entry['logL']:.3f}  "
+                f"BIC {entry['BIC']:.3f}")
+        if bad_base or not lazy_rk:
+            continue
+        # lazy +Rk expansion: increase k while the criterion improves
+        # (reference: MF_WAITING lazy flags, main/phylotesting.cpp:1307)
+        prev_score = None
+        for k in range(2, max_rk + 1):
+            entry = evaluate(f"{base}+R{k}")
+            if entry is None:
+                break
+            results.append(entry)
+            log(f"  {entry['name']:<18} logL {entry['logL']:.3f}  "
+                f"BIC {entry['BIC']:.3f}")
+            if prev_score is not None and entry[criterion] > prev_score:
+                break
+            prev_score = entry[criterion]
     if ckp is not None:
         ckp.end_struct()
 

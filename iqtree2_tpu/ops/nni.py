@@ -143,3 +143,171 @@ def evaluate_nnis(cand_arrays, blens, dp: pruning.DownPass, up_in, up_scale,
         return out
 
     return jax.vmap(one)(iu, iv, slot_c, eid)
+
+
+def _transition_one(t, pack):
+    """P(t) [C, S, S] for one scalar branch length."""
+    return pruning.transition_tensors(t[None], pack)[0]
+
+
+def _theta(out, down, Uc, Vc):
+    a = jnp.einsum("cxk,cxp->ckp", Uc, out,
+                   precision=jax.lax.Precision.HIGHEST)
+    b = jnp.einsum("cky,cyp->ckp", Vc, down,
+                   precision=jax.lax.Precision.HIGHEST)
+    return a * b
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton",
+                                             "return_site_lp"))
+def evaluate_nnis5(cand_arrays, blens, dp: pruning.DownPass, up,
+                   sched, pack, pattern_weights, t_min, t_max,
+                   n_rounds: int = 2, n_newton: int = 2,
+                   return_site_lp: bool = False):
+    """NNI5 evaluation: for every candidate edge, score both NNI variants
+    and the baseline with ALL FIVE surrounding branch lengths re-optimized
+    by coordinate Newton rounds (reference: getBestNNIForBran NNI5 mode,
+    tree/phylotree.cpp:4058; params.nni5 default true).
+
+    Returns (logl [n, 3], t_e [n, 3], t5 [n, 3, 5]) where t5 columns are
+    the optimized lengths of (a, b, c, d, e): a,b = u's child edges,
+    c = v's other child edge, d = v's parent edge (kept fixed when v is
+    the schedule root), e = central. With return_site_lp also per-pattern
+    logLs [n, 3, Ppat].
+    Reversible models only (callers fall back to evaluate_nnis for
+    nonreversible packs).
+    """
+    iu, iv, slot_c, eid = cand_arrays
+    log_ptn_invar = pack["log_ptn_invar"]
+    child_src = sched["child_src"]
+    child_edge = sched["child_edge"]
+    n_int = child_src.shape[0]
+    Uc = pack["U"][pack["cat_mix"]]
+    Vc = pack["V"][pack["cat_mix"]]
+    dtype = dp.all.dtype
+    thresh, rescale, _ = pruning.scaling_consts(dtype)
+
+    def resc(x, sc):
+        mx = x.max(axis=(0, 1))
+        need = mx < thresh
+        x = x * jnp.where(need, rescale, 1.0).astype(dtype)
+        return x, sc + need.astype(jnp.int32)
+
+    def one(iu_, iv_, sc__, eid_):
+        ea = child_edge[iu_, 0]
+        eb = child_edge[iu_, 1]
+        ec = child_edge[iv_, sc__]
+        L = dp.all.shape[0] - n_int
+        p_a, s_a = dp.all[child_src[iu_, 0]], dp.scale[child_src[iu_, 0]]
+        p_b, s_b = dp.all[child_src[iu_, 1]], dp.scale[child_src[iu_, 1]]
+        p_c, s_c = dp.all[child_src[iv_, sc__]], dp.scale[child_src[iv_, sc__]]
+        is_root = iv_ == n_int - 1
+        ed = jnp.where(is_root, 0, L + iv_)     # v's parent edge id
+        E_d = up.edge_E[ed]
+        s_Ed = up.edge_E_scale[ed]
+        # for the root, the fixed outside at v (up_in) replaces P_d^T E_d
+        out_root = up.up_in[iv_]
+        s_out_root = up.up_scale[iv_]
+
+        t0 = jnp.stack([blens[ea], blens[eb], blens[ec], blens[ed],
+                        blens[eid_]])
+
+        def newton(theta, sc, t):
+            return pruning.newton_branch_step(
+                theta, sc, t, pack, log_ptn_invar, pattern_weights,
+                t_min, t_max, n_iter=n_newton)
+
+        def score_variant(px1, sx1, px2, sx2, px3, sx3, idx1, idx2, idx3):
+            """u' children = (x1, x2); v' children = (u', x3).
+
+            idx* map the variant's branch roles back into t5 slots."""
+            def round_body(_, ts):
+                ta, tb, tc, td, te = (ts[0], ts[1], ts[2], ts[3], ts[4])
+                t1, t2, t3 = ts[idx1], ts[idx2], ts[idx3]
+                m1 = jnp.einsum("cxy,cyp->cxp", _transition_one(t1, pack),
+                                px1, precision=jax.lax.Precision.HIGHEST)
+                m2 = jnp.einsum("cxy,cyp->cxp", _transition_one(t2, pack),
+                                px2, precision=jax.lax.Precision.HIGHEST)
+                m3 = jnp.einsum("cxy,cyp->cxp", _transition_one(t3, pack),
+                                px3, precision=jax.lax.Precision.HIGHEST)
+                Pd = _transition_one(td, pack)
+                out_v = jnp.where(
+                    is_root, out_root,
+                    jnp.einsum("cxy,cxp->cyp", Pd, E_d,
+                               precision=jax.lax.Precision.HIGHEST))
+                s_out = jnp.where(is_root, s_out_root, s_Ed)
+                down_u, s_du = resc(m1 * m2, sx1 + sx2)
+                out_e, s_oe = resc(out_v * m3, s_out + sx3)
+                # central branch
+                te = newton(_theta(out_e, down_u, Uc, Vc), s_du + s_oe, te)
+                Pe = _transition_one(te, pack)
+                m_u = jnp.einsum("cxy,cyp->cxp", Pe, down_u,
+                                 precision=jax.lax.Precision.HIGHEST)
+                # x3 branch (v's other child)
+                out_3, s_o3 = resc(out_v * m_u, s_out + s_du)
+                t3 = newton(_theta(out_3, px3, Uc, Vc), s_o3 + sx3, t3)
+                # u-side outside
+                out_u = jnp.einsum("cxy,cxp->cyp", Pe, out_e,
+                                   precision=jax.lax.Precision.HIGHEST)
+                o1, s_o1 = resc(out_u * m2, s_oe + sx2)
+                t1 = newton(_theta(o1, px1, Uc, Vc), s_o1 + sx1, t1)
+                m1 = jnp.einsum("cxy,cyp->cxp", _transition_one(t1, pack),
+                                px1, precision=jax.lax.Precision.HIGHEST)
+                o2, s_o2 = resc(out_u * m1, s_oe + sx1)
+                t2 = newton(_theta(o2, px2, Uc, Vc), s_o2 + sx2, t2)
+                # d branch (skip at root)
+                m2 = jnp.einsum("cxy,cyp->cxp", _transition_one(t2, pack),
+                                px2, precision=jax.lax.Precision.HIGHEST)
+                down_v, s_dv = resc(m_u * m3, s_du + sx3)
+                td_new = newton(_theta(E_d, down_v, Uc, Vc),
+                                s_dv + s_Ed, td)
+                td = jnp.where(is_root, td, td_new)
+                ts = ts.at[idx1].set(t1).at[idx2].set(t2).at[idx3].set(t3)
+                ts = ts.at[3].set(td).at[4].set(te)
+                return ts
+
+            ts = jax.lax.fori_loop(0, n_rounds, round_body, t0)
+            # final score at optimized lengths
+            t1, t2, t3 = ts[idx1], ts[idx2], ts[idx3]
+            m1 = jnp.einsum("cxy,cyp->cxp", _transition_one(t1, pack), px1,
+                            precision=jax.lax.Precision.HIGHEST)
+            m2 = jnp.einsum("cxy,cyp->cxp", _transition_one(t2, pack), px2,
+                            precision=jax.lax.Precision.HIGHEST)
+            m3 = jnp.einsum("cxy,cyp->cxp", _transition_one(t3, pack), px3,
+                            precision=jax.lax.Precision.HIGHEST)
+            Pd = _transition_one(ts[3], pack)
+            out_v = jnp.where(
+                is_root, out_root,
+                jnp.einsum("cxy,cxp->cyp", Pd, E_d,
+                           precision=jax.lax.Precision.HIGHEST))
+            s_out = jnp.where(is_root, s_out_root, s_Ed)
+            down_u, s_du = resc(m1 * m2, sx1 + sx2)
+            out_e, s_oe = resc(out_v * m3, s_out + sx3)
+            theta = _theta(out_e, down_u, Uc, Vc)
+            sc = s_du + s_oe
+            logl, _, _ = pruning.branch_lh_derivs(
+                theta, sc, ts[4], pack, log_ptn_invar, pattern_weights,
+                order=0)
+            if return_site_lp:
+                lp = pruning.branch_site_lp(theta, sc, ts[4], pack,
+                                            log_ptn_invar)
+            else:
+                lp = jnp.zeros((0,), dtype)
+            return logl, ts[4], ts, lp
+
+        # variant 0 (swap b<->c): u'={a,c}, v' other = b
+        l0, te0, ts0, p0 = score_variant(p_a, s_a, p_c, s_c, p_b, s_b,
+                                         0, 2, 1)
+        # variant 1 (swap a<->c): u'={b,c}, v' other = a
+        l1, te1, ts1, p1 = score_variant(p_b, s_b, p_c, s_c, p_a, s_a,
+                                         1, 2, 0)
+        # baseline: u'={a,b}, v' other = c
+        l2, te2, ts2, p2 = score_variant(p_a, s_a, p_b, s_b, p_c, s_c,
+                                         0, 1, 2)
+        out = (jnp.stack([l0, l1, l2]), jnp.stack([te0, te1, te2]),
+               jnp.stack([ts0, ts1, ts2]))
+        if return_site_lp:
+            return out + (jnp.stack([p0, p1, p2]),)
+        return out
+
+    return jax.vmap(one)(iu, iv, slot_c, eid)

@@ -1,0 +1,327 @@
+"""Streaming Pallas pruning kernel (v2): arbitrary tree size, MXU-packed.
+
+One kernel launch computes site log-likelihoods for a whole topology.
+grid = (pattern tiles, schedule steps); within a pattern tile the steps run
+sequentially with the LIVE internal partials held in a VMEM ring buffer
+(allocated by tree/plan2.py interval coloring), so VMEM usage is
+O(live set * tile) instead of O(n_int * tile) — this is what lets the same
+kernel serve 16 and 10,000 taxa.
+
+Per step (G nodes), the children messages are TWO MXU-shaped matmuls per
+side:  [R, R] block-diagonal operator  x  [R, pt] contiguous ring block
+    + [R, TSP] tip operator           x  [TSP, pt] streamed raw tips
+(R = G*CSP rows = up to 128), followed by the pairwise product, per-node
+underflow rescale, and scattered [CSP, pt] writes into the consuming ring
+blocks. Operators are rebuilt per evaluation in XLA from the transition
+tensors (build_ops); raw tip columns are re-gathered per topology
+(build_tip_streams) and streamed from HBM in consumption order.
+
+Reference analog: computePartialLikelihoodSIMD over a traversal worklist
+(tree/phylokernelnew.h:1263-1290) + the memory-saving slot machinery
+(tree/memslot.h:44), fused into one static SPMD program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from iqtree2_tpu.tree.plan2 import StreamPlan
+
+_THRESH = 2.0 ** -30
+_RESCALE = 2.0 ** 30
+_LOG_RESCALE = 30.0 * float(np.log(2.0))
+HI = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# --------------------------------------------------------- XLA-side builders
+def build_ops(P, edge, is_int, tip, L: int, CSP: int):
+    """Per-eval operator streams from transition tensors.
+
+    P: [E, C, S, S]; edge/is_int/tip: [n_steps, G, 2] int32.
+    Returns (opA, opB [n_steps, R, R], topA, topB [n_steps, R, TSP],
+             pres0 [CSP, SP]).
+    """
+    n_steps, G, _ = edge.shape
+    E, C, S, _ = P.shape
+    CS = C * S
+    R = G * CSP
+    TSP = _round_up(G * S, 8)
+    SP = max(8, S)
+    eyeC = jnp.eye(C, dtype=P.dtype)
+    eyeG = jnp.eye(G, dtype=P.dtype)
+
+    def one_side(k):
+        Pe = P[edge[:, :, k]]                       # [n, G, C, S, S]
+        mi = is_int[:, :, k].astype(P.dtype)[:, :, None, None]
+        blk = jnp.einsum("ngcxy,cd->ngcxdy", Pe,
+                         eyeC).reshape(n_steps, G, CS, CS)
+        blk = blk * mi
+        blk = jnp.pad(blk, ((0, 0), (0, 0), (0, CSP - CS), (0, CSP - CS)))
+        ops = jnp.einsum("ngab,gh->ngahb", blk,
+                         eyeG).reshape(n_steps, R, R)
+        mt = (tip[:, :, k] < L).astype(P.dtype)[:, :, None, None]
+        pres = Pe.reshape(n_steps, G, CS, S) * mt
+        pres = jnp.pad(pres, ((0, 0), (0, 0), (0, CSP - CS), (0, 0)))
+        tops = jnp.einsum("ngas,gh->ngahs", pres,
+                          eyeG).reshape(n_steps, R, G * S)
+        tops = jnp.pad(tops, ((0, 0), (0, 0), (0, TSP - G * S)))
+        return ops, tops
+
+    opA, topA = one_side(0)
+    opB, topB = one_side(1)
+    pres0 = jnp.pad(P[0].reshape(CS, S),
+                    ((0, CSP - CS), (0, SP - S)))
+    return opA, opB, topA, topB, pres0
+
+
+def build_tip_streams(tipP, tip, TSP: int):
+    """Per-topology raw tip streams in consumption order.
+
+    tipP: [L, S, Pp]; tip: [n_steps, G, 2] (leaf id, L = absent).
+    Returns (tipA, tipB [n_steps, TSP, Pp], tip0 [SP, Pp])."""
+    L, S, Pp = tipP.shape
+    n_steps, G, _ = tip.shape
+    SP = max(8, S)
+    tp = jnp.concatenate(
+        [tipP, jnp.zeros((1, S, Pp), tipP.dtype)], axis=0)
+
+    def side(k):
+        t = tp[tip[:, :, k]].reshape(n_steps, G * S, Pp)
+        return jnp.pad(t, ((0, 0), (0, TSP - G * S), (0, 0)))
+
+    tip0 = jnp.pad(tipP[0], ((0, SP - S), (0, 0)))
+    return side(0), side(1), tip0
+
+
+# ------------------------------------------------------------------- kernel
+def _make_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int,
+                 export: bool):
+    """Streaming traversal kernel.
+
+    sitelp mode (export=False): per-node scale counts are NOT tracked —
+    every rescale event propagates multiplicatively to the root, so ONE
+    per-pattern accumulator of rescale events (masked to valid nodes)
+    recovers the root scale exactly. This removes all per-slot dynamic
+    scale reads/writes from the hot path.
+
+    export mode: per-node cumulative scale counts are kept in a sidecar
+    ring at 8-row pitch (Mosaic dynamic stores must be sublane-aligned)
+    and exported alongside the partials.
+    """
+    def kernel(ms_ref, sl_ref,
+               tipA, tipB, opA, opB, topA, topB, pres0, wf, tip0, loginv,
+               *rest):
+        if export:
+            lp_out, part_out, sc_out = rest[0], rest[1], rest[2]
+            ring, scr, broot, scroot = rest[3:]
+        else:
+            lp_out = rest[0]
+            ring, broot, acc = rest[1:]
+
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+
+        @pl.when((i == 0) & (s == 0))
+        def _():
+            ring[...] = jnp.zeros_like(ring)
+            if export:
+                scr[...] = jnp.zeros_like(scr)
+
+        if not export:
+            @pl.when(s == 0)
+            def _():
+                acc[...] = jnp.zeros_like(acc)
+
+        blkA = ms_ref[s, 0]
+        blkB = ms_ref[s, 1]
+        ra = ring[pl.ds(pl.multiple_of(blkA * R, R), R), :]
+        rb = ring[pl.ds(pl.multiple_of(blkB * R, R), R), :]
+        A = jnp.dot(opA[0], ra, precision=HI,
+                    preferred_element_type=jnp.float32) \
+            + jnp.dot(topA[0], tipA[0], precision=HI,
+                      preferred_element_type=jnp.float32)
+        B = jnp.dot(opB[0], rb, precision=HI,
+                    preferred_element_type=jnp.float32) \
+            + jnp.dot(topB[0], tipB[0], precision=HI,
+                      preferred_element_type=jnp.float32)
+        prod = (A * B).reshape(G, CSP, pt)
+        mx = jnp.max(prod, axis=1)                     # [G, pt]
+        need = (mx < _THRESH).astype(jnp.float32)
+        prod = prod * jnp.where(need > 0.5, _RESCALE, 1.0)[:, None, :]
+
+        if export:
+            # sidecar scale counts: slot (blk*G+g) owns 8 rows at 8-pitch;
+            # one contiguous [G*8, pt] read per side covers all G slots.
+            rA = scr[pl.ds(pl.multiple_of(blkA * (G * 8), 8), G * 8), :]
+            rB = scr[pl.ds(pl.multiple_of(blkB * (G * 8), 8), G * 8), :]
+            scs = []
+            for g in range(G):
+                scA = jnp.where(sl_ref[s, g, 0] > 0, rA[g * 8],
+                                jnp.zeros((pt,), jnp.float32))
+                scB = jnp.where(sl_ref[s, g, 1] > 0, rB[g * 8],
+                                jnp.zeros((pt,), jnp.float32))
+                scs.append(scA + scB + need[g])
+        else:
+            # root-total accumulator: masked sum of this step's rescales
+            tot = jnp.zeros((pt,), jnp.float32)
+            for g in range(G):
+                vg = (sl_ref[s, g, 4] > 0).astype(jnp.float32)
+                tot = tot + need[g] * vg
+            acc[0, :] = acc[0, :] + tot
+
+        for g in range(G):
+            dst = sl_ref[s, g, 2]
+            v = sl_ref[s, g, 4]
+
+            @pl.when((v > 0) & (dst >= 0))
+            def _(g=g, dst=dst):
+                ring[pl.ds(pl.multiple_of(dst, 8), CSP), :] = prod[g]
+                if export:
+                    scr[pl.ds(pl.multiple_of(sl_ref[s, g, 3] * 8, 8),
+                              8), :] = \
+                        jnp.broadcast_to(scs[g][None, :], (8, pt))
+
+            @pl.when((v > 0) & (dst == -2))
+            def _(g=g):
+                broot[...] = prod[g]
+                if export:
+                    scroot[...] = jnp.broadcast_to(scs[g][None, :],
+                                                   (8, pt))
+
+        if export:
+            part_out[0] = prod.reshape(R, pt)
+            sc_out[0] = jnp.stack(scs)
+
+        @pl.when(s == n_steps - 1)
+        def _():
+            m0 = jnp.dot(pres0[...], tip0[...], precision=HI,
+                         preferred_element_type=jnp.float32)  # [CSP, pt]
+            site0 = jnp.sum(wf[...] * broot[...] * m0, axis=0)
+            site0 = jnp.maximum(site0, 1e-37)
+            scroot_row = scroot[0, :] if export else acc[0, :]
+            lp = jnp.log(site0) - scroot_row * _LOG_RESCALE
+            lp_out[0, :] = jnp.logaddexp(lp, loginv[0, :])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("CSP", "ring_blocks", "pt",
+                                             "export", "interpret"))
+def stream_pass(meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB,
+                pres0, wf_pad, tip0, log_inv, CSP: int, ring_blocks: int,
+                pt: int, export: bool = False, interpret: bool = False):
+    """Run the streaming traversal.
+
+    Returns lp [Pp] (site log-likelihoods, invariant-corrected), and with
+    export=True also (partials [n_steps, R, Pp], scales [n_steps, G, Pp]).
+    """
+    n_steps, G, _2 = meta_slot.shape[0], meta_slot.shape[1], None
+    R = G * CSP
+    TSP = tipA.shape[1]
+    SP = tip0.shape[0]
+    Pp = tipA.shape[2]
+    n_tiles = Pp // pt
+
+    def im_step3(i, s, *_):
+        return (s, 0, 0)
+
+    def im_tile_last(i, s, *_):
+        return (s, 0, i)
+
+    in_specs = [
+        pl.BlockSpec((1, TSP, pt), im_tile_last, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TSP, pt), im_tile_last, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, R), im_step3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, R), im_step3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, TSP), im_step3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, TSP), im_step3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((CSP, SP), lambda i, s, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((CSP, 1), lambda i, s, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((SP, pt), lambda i, s, *_: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pt), lambda i, s, *_: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((1, Pp), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, pt), lambda i, s, *_: (0, i),
+                              memory_space=pltpu.VMEM)]
+    if export:
+        out_shape += [
+            jax.ShapeDtypeStruct((n_steps, R, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, G, Pp), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((1, R, pt), im_tile_last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, pt), im_tile_last, memory_space=pltpu.VMEM),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, n_steps),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if export else out_specs[0],
+        scratch_shapes=(
+            [pltpu.VMEM((ring_blocks * R, pt), jnp.float32)]
+            + ([pltpu.VMEM((ring_blocks * G * 8, pt), jnp.float32)]
+               if export else [])
+            + [pltpu.VMEM((CSP, pt), jnp.float32),
+               pltpu.VMEM((8, pt), jnp.float32)]),
+    )
+
+    flops_mm = 2 * n_steps * n_tiles * (2 * R * R * pt + 2 * R * TSP * pt)
+    out = pl.pallas_call(
+        _make_kernel(G, CSP, R, n_steps, pt, export),
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape) if export else out_shape[0],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_mm, bytes_accessed=tipA.size * 8 + opA.size * 8,
+            transcendentals=Pp),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB, pres0,
+      wf_pad, tip0, log_inv)
+    if export:
+        lp, parts, scs = out
+        return lp[0], parts, scs
+    return out[0]
+
+
+def sitelp_v2(P, tipP, plan_arrays, wf, log_inv, CSP: int,
+              ring_blocks: int, pt: int, export: bool = False,
+              interpret: bool = False):
+    """Site log-likelihoods via the streaming kernel.
+
+    P: [E, C, S, S] transition tensors (block-diagonal over C per edge);
+    tipP: [L, S, Pp]; plan_arrays: dict of device plan arrays
+    (meta_step, meta_slot, edge, is_int, tip); wf: [CS] root weights
+    (cat_weight * root_freqs flattened); log_inv: [Pp].
+    """
+    L = tipP.shape[0]
+    meta_step = plan_arrays["p2_meta_step"]
+    meta_slot = plan_arrays["p2_meta_slot"]
+    edge = plan_arrays["p2_edge"]
+    is_int = plan_arrays["p2_int"]
+    tip = plan_arrays["p2_tip"]
+    G = edge.shape[1]
+    TSP = _round_up(G * tipP.shape[1], 8)
+    opA, opB, topA, topB, pres0 = build_ops(P, edge, is_int, tip, L, CSP)
+    tipA, tipB, tip0 = build_tip_streams(tipP, tip, TSP)
+    wf_pad = jnp.pad(wf, (0, CSP - wf.shape[0]))[:, None]
+    return stream_pass(meta_step, meta_slot, tipA, tipB, opA, opB,
+                       topA, topB, pres0, wf_pad, tip0, log_inv[None, :],
+                       CSP=CSP, ring_blocks=ring_blocks, pt=pt,
+                       export=export, interpret=interpret)

@@ -140,6 +140,20 @@ def _pallas_env_ok(tipP, C: int) -> bool:
     return C * tipP.shape[1] <= 32
 
 
+def _v2_env_ok(tipP) -> bool:
+    """Trace-time statics for the v2 streaming kernel: float32 + TPU."""
+    if os.environ.get("IQTREE2_TPU_DISABLE_PALLAS") or \
+            os.environ.get("IQTREE2_TPU_DISABLE_PALLAS2"):
+        return False
+    if tipP.dtype != jnp.float32:
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform in ("tpu", "axon")
+
+
 def down_pass(P, tipP, sched) -> DownPass:
     """Post-order sweep computing internal-node partials.
 
@@ -308,12 +322,26 @@ def tree_loglik(blens, tipP, sched, pack, pattern_weights,
     sched: dict of device schedule arrays; pack: dict of model arrays
     (eigvals,U,V,cat_rate,cat_mix,cat_weight,root_freqs,log_ptn_invar).
 
-    On TPU with float32 and a small state-category product, the whole
-    traversal runs as one Pallas kernel (ops/pallas_pruning.py); otherwise
-    the XLA level-batched scan path is used.
+    On TPU with float32, the whole traversal runs as one streaming Pallas
+    kernel (ops/pallas_pruning2.py — any tree size / state count); the v1
+    whole-tree-in-VMEM kernel and the XLA level-batched scan remain as
+    fallbacks.
     """
     P = transition_tensors(blens.astype(tipP.dtype), pack)
     pt = _pallas_tile(tipP, pack, sched)
+    if pt is None and "p2_cfg" in sched and _v2_env_ok(tipP):
+        # v2 streaming kernel: any tree size / state count (VMEM ring).
+        from iqtree2_tpu.ops import pallas_pruning2 as pp2
+        from iqtree2_tpu.tree import plan2
+        C = pack["cat_rate"].shape[0]
+        ring_blocks, pt2 = sched["p2_cfg"].shape
+        wf = (pack["cat_weight"][:, None] * pack["root_freqs"]).reshape(-1)
+        lp = pp2.sitelp_v2(P, tipP, sched, wf, pack["log_ptn_invar"],
+                           CSP=plan2.slot_pitch(C * tipP.shape[1]),
+                           ring_blocks=ring_blocks, pt=pt2)
+        return finalize_loglik(lp, pattern_weights, axis_name=axis_name,
+                               asc_mask=pack.get("asc_mask"),
+                               asc_nsites=pack.get("asc_nsites"))
     if pt is not None:
         from iqtree2_tpu.ops import pallas_pruning
         wf = (pack["cat_weight"][:, None] * pack["root_freqs"]).reshape(-1)

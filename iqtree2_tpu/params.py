@@ -62,6 +62,7 @@ class Params:
     no_checkpoint: bool = False
     verbose: int = 1
     write_site_lh: bool = False       # -wsl
+    pmsf: bool = False                # --pmsf (two-pass site frequencies)
     # simulation (AliSim)
     alisim: str = ""                  # --alisim output prefix
     sim_length: int = 1000

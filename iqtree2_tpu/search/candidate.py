@@ -27,16 +27,25 @@ class CandidateSet:
         self.items: list[CandidateTree] = []
 
     def update(self, tree: Tree, logL: float) -> bool:
-        """Insert/refresh a tree. Returns True if it entered the top set."""
+        """Insert/refresh a tree. Returns True if it entered the top set.
+
+        Trees are CANONICALIZED (newick round-trip) before storage so that
+        node numbering — which determines edge enumeration order in
+        perturbation and NNI scoring — depends only on the topology, not
+        on the tree object's construction history. This is what makes a
+        checkpoint-resumed search bit-identical to an uninterrupted one.
+        """
         tid = tree.topology_id()
+        canon = Tree.from_newick(tree.to_newick(digits=17),
+                                 tree.taxon_names)
         for it in self.items:
             if it.topo_id == tid:
                 if logL > it.logL:
                     it.logL = logL
-                    it.tree = tree.copy()
+                    it.tree = canon
                     self._sort()
                 return self.rank_of(tid) < self.max_top
-        self.items.append(CandidateTree(tree.copy(), logL, tid))
+        self.items.append(CandidateTree(canon, logL, tid))
         self._sort()
         if len(self.items) > self.max_size:
             self.items = self.items[: self.max_size]

@@ -36,14 +36,20 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
                  loglh_epsilon: float = 0.001,
                  max_rounds: int = 100,
                  blen_rounds: int = 4,
+                 nni5: bool = True,
                  verbose: bool = False) -> NNIResult:
     """Hill-climb with NNI moves until no improving move remains.
 
-    Mutates ``tree`` in place; returns the final logL.
+    nni5=True (the reference default, params.nni5) scores each candidate
+    with all five surrounding branches re-optimized and applies those
+    lengths on acceptance. Mutates ``tree`` in place; returns the final
+    logL.
     """
     total_applied = 0
     logL = eng.optimize_branches(tree, n_rounds=blen_rounds)
     rnd = 0
+    use5 = nni5 and getattr(eng, "_dev_pack", {}).get("Q") is None and \
+        hasattr(eng, "evaluate_nni_batch")
     for rnd in range(1, max_rounds + 1):
         sched = build_schedule(tree)
         cand = build_nni_candidates(tree, sched)
@@ -51,7 +57,15 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
             break
         cand_arrays = (jnp.asarray(cand.iu), jnp.asarray(cand.iv),
                        jnp.asarray(cand.slot_c), jnp.asarray(cand.edge_id))
-        logl, t_opt = eng.evaluate_nni_batch(sched, cand_arrays)
+        t5 = None
+        if use5:
+            try:
+                logl, t_opt, t5 = eng.evaluate_nni_batch(
+                    sched, cand_arrays, nni5=True)
+            except TypeError:       # engines without nni5 support
+                use5 = False
+        if t5 is None:
+            logl, t_opt = eng.evaluate_nni_batch(sched, cand_arrays)
 
         base = logl[:, 2]
         gains = logl[:, :2] - base[:, None]
@@ -60,6 +74,7 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
         order = np.argsort(-best_gain)
         used_nodes: set[int] = set()
         applied = 0
+        L = sched.ntaxa
         for ci in order:
             if best_gain[ci] <= loglh_epsilon:
                 break
@@ -71,11 +86,30 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
             # variant 0 swaps child at slot 1 (b) with sibling c;
             # variant 1 swaps child at slot 0 (a) with sibling c
             iu, iv = int(cand.iu[ci]), int(cand.iv[ci])
+            a_node = _slot_node(tree, sched, iu, 0)
+            b_node = _slot_node(tree, sched, iu, 1)
             moved_slot = 1 if var == 0 else 0
             x = _slot_node(tree, sched, iu, moved_slot)
             c = _slot_node(tree, sched, iv, int(cand.slot_c[ci]))
             tree.swap_subtrees(u, x, v, c)
             tree.set_blen(u, v, float(t_opt[ci, var]))
+            if t5 is None:
+                used_nodes.update([u, v])
+                applied += 1
+                continue
+            # apply the 4 outer optimized lengths (post-swap adjacency):
+            # the moved child x now hangs off v, c now hangs off u
+            tv5 = t5[ci, var]     # (a, b, c, d, e)
+            kept = a_node if var == 0 else b_node
+            kept_t = float(tv5[0] if var == 0 else tv5[1])
+            moved_t = float(tv5[moved_slot])
+            tree.set_blen(kept, u, kept_t)
+            tree.set_blen(c, u, float(tv5[2]))
+            tree.set_blen(x, v, moved_t)
+            if iv != sched.n_int - 1:
+                vp = sched.edge_nodes[L + iv][1]
+                if vp not in used_nodes:
+                    tree.set_blen(v, vp, float(tv5[3]))
             used_nodes.update([u, v])
             applied += 1
         if applied == 0:

@@ -56,7 +56,7 @@ class SearchResult:
 class TreeSearch:
     def __init__(self, eng: LikelihoodEngine, aln: Alignment,
                  params: SearchParams | None = None,
-                 ufboot=None, log=None):
+                 ufboot=None, log=None, ckp=None):
         self.eng = eng
         self.aln = aln
         self.params = params or SearchParams()
@@ -65,6 +65,47 @@ class TreeSearch:
                                   max_top=self.params.pop_size)
         self.ufboot = ufboot  # optional UFBoot collector
         self.log = log or (lambda s: None)
+        self.ckp = ckp        # optional Checkpoint (mid-search resume)
+        self._resume_iter = 0
+
+    # ----------------------------------------------------------- checkpoint
+    def _save_ckp(self, it: int, stop: "StopRule") -> None:
+        """Persist the full search state so a killed run resumes exactly
+        (reference: doTreeSearch checkpoint guards, tree/iqtree.cpp:2221,
+        2394). RNG bit-generator state makes the resumed run byte-identical
+        to an uninterrupted one."""
+        if self.ckp is None:
+            return
+        c = self.ckp
+        c.put("search.iteration", it)
+        c.put("search.last_improved", stop.last_improved)
+        c.put("search.rng", self.rng.bit_generator.state)
+        c.put("search.candidates",
+              [[it_.tree.to_newick(digits=17), it_.logL]
+               for it_ in self.cands.items])
+        if self.ufboot is not None:
+            c.put("search.ufboot", self.ufboot.state_dict())
+        c.dump()
+
+    def _load_ckp(self, stop: "StopRule") -> bool:
+        c = self.ckp
+        if c is None or c.get("search.iteration") is None:
+            return False
+        from iqtree2_tpu.tree.topology import Tree as _Tree
+        self._resume_iter = int(c.get("search.iteration"))
+        stop.last_improved = int(c.get("search.last_improved", 0))
+        self.rng.bit_generator.state = c.get("search.rng")
+        self.cands = CandidateSet(max_size=self.params.n_nni_trees,
+                                  max_top=self.params.pop_size)
+        for nwk, logL in c.get("search.candidates", []):
+            self.cands.update(_Tree.from_newick(nwk, self.aln.names),
+                              float(logL))
+        if self.ufboot is not None and c.get("search.ufboot") is not None:
+            self.ufboot.load_state_dict(c.get("search.ufboot"))
+        self.log(f"Resumed search from checkpoint at iteration "
+                 f"{self._resume_iter} (best logL "
+                 f"{self.cands.best_score():.4f})")
+        return True
 
     # ------------------------------------------------------------ init set
     def init_candidates(self) -> None:
@@ -110,15 +151,17 @@ class TreeSearch:
     # ---------------------------------------------------------- main loop
     def run(self) -> SearchResult:
         p = self.params
-        if len(self.cands) == 0:
-            self.init_candidates()
         stop = StopRule(
             min_iterations=p.min_iterations,
             max_iterations=p.max_iterations,
             unsuccess_iteration=p.unsuccess_iteration,
             fixed_iterations=p.fixed_iterations,
             use_correlation=self.ufboot is not None)
-        it = 0
+        resumed = self._load_ckp(stop)
+        if not resumed and len(self.cands) == 0:
+            self.init_candidates()
+            self._save_ckp(0, stop)
+        it = self._resume_iter
         while True:
             it += 1
             cand = self.cands.random_top(self.rng)
@@ -139,7 +182,9 @@ class TreeSearch:
             if self.ufboot is not None and \
                     it % self.ufboot.step_iterations == 0:
                 corr_done = self.ufboot.check_convergence()
+            self._save_ckp(it, stop)
             if stop.should_stop(it, corr_done):
+                self._save_ckp(it, stop)
                 break
         best = self.cands.best()
         return SearchResult(best_tree=best.tree.copy(),
@@ -151,5 +196,8 @@ class TreeSearch:
         """Hook every optimized tree into UFBoot RELL scoring
         (reference analog: saveCurrentTree, tree/iqtree.cpp:3553)."""
         if self.ufboot is not None:
+            if logL < self.ufboot.logl_cutoff:
+                self.ufboot.n_pruned += 1
+                return
             _, lp = self.eng.site_lp(tree)
-            self.ufboot.add_tree(tree, lp)
+            self.ufboot.add_tree(tree, lp, tree_logL=logL)

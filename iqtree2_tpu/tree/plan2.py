@@ -1,0 +1,286 @@
+"""Streaming execution plan for the v2 Pallas pruning kernel.
+
+The v1 whole-traversal kernel (ops/pallas_pruning.py) keeps EVERY internal
+partial in VMEM, which caps it at ~150 taxa on a 16 MB-VMEM chip. The v2
+plan instead schedules the postorder as a sequence of *steps* of up to G
+independent nodes and keeps only the LIVE partials in a VMEM ring buffer:
+
+  - step = G nodes; each node's two children are "side A" (child 0) and
+    "side B" (child 1).
+  - All of a step's side-A internal-child partials live in ONE contiguous
+    ring block of R = G*CSP rows (CSP = per-slot row pitch, state*category
+    padded to a sublane multiple), written there by the producing steps.
+    The side-A message matmul is then a single [R, R] block-diagonal x
+    [R, pt] contraction (MXU-shaped), and likewise side B.
+  - Tip children never enter the ring: their raw [S, pt] columns are
+    streamed from HBM in consumption order and hit a [R, G*S]
+    block-diagonal tip operator.
+  - Ring blocks are recycled by interval coloring (a block lives from its
+    first producer step to its consuming step), so VMEM holds O(live set)
+    instead of O(n). Nodes are scheduled greedily in postorder(DFS)
+    priority, which keeps the live set near the tree height rather than
+    the tree width.
+
+Reference analog: the traversal worklist + memory-saving slot machinery
+(tree/phylokernelnew.h:1150 computeTraversalInfo, tree/memslot.h:44
+MemSlotVector) redesigned for a static SPMD kernel.
+
+All shapes are bucketed (n_steps to a multiple of 8, ring_blocks to a
+multiple of 4) so NNI moves rarely recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from iqtree2_tpu.tree.schedule import TreeSchedule
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class StreamPlan:
+    """Host arrays driving the v2 streaming kernel (one topology)."""
+
+    L: int                 # taxa
+    n_int: int
+    S: int                 # states
+    C: int                 # categories
+    CS: int                # C * S
+    CSP: int               # per-slot row pitch (CS rounded to sublanes)
+    G: int                 # nodes per step
+    R: int                 # G * CSP ring-block rows
+    TS: int                # G * S tip-stream rows per side
+    n_steps: int           # bucketed
+    n_steps_real: int
+    ring_blocks: int       # bucketed
+
+    # [n_steps, 2] int32: ring block id of the A/B RHS block
+    src_blk: np.ndarray
+    # [n_steps, G, 2] int32: edge id of the A/B child (0 when absent)
+    edge: np.ndarray
+    # [n_steps, G, 2] int32: 1 if the A/B child is an internal node
+    is_int: np.ndarray
+    # [n_steps, G, 2] int32: leaf id of the A/B child (L when absent)
+    tip: np.ndarray
+    # [n_steps, G] int32: ring ROW where this node's output goes
+    #   >= 0 ring row; -2 root (goes to the root scratch); -1 padding
+    dst_row: np.ndarray
+    # [n_steps, G] int32: scale-count ring row (blk*G + slot); -1 pad/root
+    dst_sc: np.ndarray
+    # [n_steps, G] int32: 1 for a real node
+    valid: np.ndarray
+    # [n_steps, G] int32: postorder index of the node (n_int when padding)
+    node_of: np.ndarray
+    # [n_int] int32: (step, slot) of each postorder node — export addressing
+    node_step: np.ndarray
+    node_slot: np.ndarray
+
+    @property
+    def export_rows(self) -> int:
+        return self.n_steps * self.R
+
+    def node_export_row(self, i: int) -> int:
+        """First row of node i's partial in the export array."""
+        return int(self.node_step[i]) * self.R + \
+            int(self.node_slot[i]) * self.CSP
+
+    def scalar_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """(meta_step [n_steps, 2], meta_slot [n_steps, G, 8]) int32 for
+        scalar prefetch."""
+        meta_step = self.src_blk.astype(np.int32)
+        meta_slot = np.stack([
+            self.is_int[:, :, 0], self.is_int[:, :, 1],
+            self.dst_row, self.dst_sc, self.valid,
+            self.node_of, np.zeros_like(self.valid),
+            np.zeros_like(self.valid)], axis=-1).astype(np.int32)
+        return meta_step, meta_slot
+
+
+def slot_pitch(CS: int) -> int:
+    """Row pitch per slot: CS rounded up to the fp32 sublane count (8)."""
+    return _round_up(max(CS, 8), 8)
+
+
+def pick_group(CSP: int) -> int:
+    """Nodes per step: fill ~128 rows, at least 1, at most 16."""
+    return max(1, min(128 // CSP, 16))
+
+
+def build_stream_plan(sched: TreeSchedule, S: int, C: int,
+                      group: int | None = None) -> StreamPlan:
+    L = sched.ntaxa
+    n_int = sched.n_int
+    CS = C * S
+    CSP = slot_pitch(CS)
+    G = group or pick_group(CSP)
+    R = G * CSP
+    TS = G * S
+
+    child_src = sched.child_src          # [n_int, 2] unified (tip<L)
+    child_edge = sched.child_edge
+
+    # --- phase 1: greedy step schedule, postorder(DFS)-priority ----------
+    n_children_left = np.zeros(n_int, dtype=np.int64)
+    parents = np.full(n_int, -1, dtype=np.int64)     # postorder idx parent
+    parent_side = np.zeros(n_int, dtype=np.int64)
+    for i in range(n_int):
+        for k in range(2):
+            s = child_src[i, k]
+            if s >= L:
+                n_children_left[i] += 1
+                parents[s - L] = i
+                parent_side[s - L] = k
+
+    # Priority: ready nodes that CONSUME live ring slots first (they shrink
+    # the live set and unlock their parents), cherries (which open new
+    # chains) last; postorder index as tiebreak. This fills steps close to
+    # n_int/G while keeping the live set near G * height instead of the
+    # tree width.
+    import heapq
+    has_int_child = (child_src >= L).any(axis=1)
+
+    def prio(i):
+        return (0 if has_int_child[i] else 1, i)
+
+    ready = [prio(i) for i in range(n_int) if n_children_left[i] == 0]
+    heapq.heapify(ready)
+    steps: list[list[int]] = []
+    step_of = np.full(n_int, -1, dtype=np.int64)
+    slot_of = np.full(n_int, -1, dtype=np.int64)
+    done = 0
+    while done < n_int:
+        cur: list[int] = []
+        while ready and len(cur) < G:
+            cur.append(heapq.heappop(ready)[1])
+        if not cur:
+            raise RuntimeError("stream scheduling stalled")
+        s_idx = len(steps)
+        for g, i in enumerate(cur):
+            step_of[i] = s_idx
+            slot_of[i] = g
+        steps.append(cur)
+        done += len(cur)
+        for i in cur:
+            p = parents[i]
+            if p >= 0:
+                n_children_left[p] -= 1
+                if n_children_left[p] == 0:
+                    heapq.heappush(ready, prio(p))
+
+    n_steps_real = len(steps)
+    n_steps = _round_up(n_steps_real, 8)
+
+    # --- phase 2: ring-block assignment (interval coloring) --------------
+    # Block (s, side) is live from its first producer's step to step s.
+    first_write = np.full((n_steps_real, 2), -1, dtype=np.int64)
+    for i in range(n_int):
+        p = parents[i]
+        if p < 0:
+            continue
+        ps, side = step_of[p], parent_side[i]
+        w = step_of[i]
+        if first_write[ps, side] < 0 or w < first_write[ps, side]:
+            first_write[ps, side] = w
+
+    # intervals sorted by start; greedy reuse of freed blocks
+    intervals = []   # (start, end, s, side)
+    for s in range(n_steps_real):
+        for side in range(2):
+            if first_write[s, side] >= 0:
+                intervals.append((first_write[s, side], s, s, side))
+    intervals.sort()
+    blk_of = np.zeros((n_steps_real, 2), dtype=np.int64)   # default 0
+    free: list[int] = []
+    frees_at: dict[int, list[int]] = {}
+    next_blk = 1   # block 0 = permanent dummy (for step-sides with no
+    #                internal children; the matmul operator there is zero)
+    import heapq as hq
+    active: list[tuple[int, int]] = []   # (end, blk)
+    # end == start reuse is safe: within a grid step the kernel reads all
+    # RHS blocks before issuing any writes.
+    for start, end, s, side in intervals:
+        while active and active[0][0] <= start:
+            _, b = hq.heappop(active)
+            free.append(b)
+        if free:
+            b = free.pop()
+        else:
+            b = next_blk
+            next_blk += 1
+        blk_of[s, side] = b
+        hq.heappush(active, (end, b))
+    ring_blocks = _round_up(max(next_blk, 2), 4)
+
+    # --- phase 3: flat arrays --------------------------------------------
+    src_blk = np.zeros((n_steps, 2), dtype=np.int32)
+    edge = np.zeros((n_steps, G, 2), dtype=np.int32)
+    is_int = np.zeros((n_steps, G, 2), dtype=np.int32)
+    tip = np.full((n_steps, G, 2), L, dtype=np.int32)
+    dst_row = np.full((n_steps, G), -1, dtype=np.int32)
+    dst_sc = np.full((n_steps, G), -1, dtype=np.int32)
+    valid = np.zeros((n_steps, G), dtype=np.int32)
+    node_of = np.full((n_steps, G), n_int, dtype=np.int32)
+    node_step = np.zeros(n_int, dtype=np.int32)
+    node_slot = np.zeros(n_int, dtype=np.int32)
+
+    for s, nodes in enumerate(steps):
+        src_blk[s, 0] = blk_of[s, 0]
+        src_blk[s, 1] = blk_of[s, 1]
+        for g, i in enumerate(nodes):
+            valid[s, g] = 1
+            node_of[s, g] = i
+            node_step[i] = s
+            node_slot[i] = g
+            for k in range(2):
+                cs_ = child_src[i, k]
+                edge[s, g, k] = child_edge[i, k]
+                if cs_ >= L:
+                    is_int[s, g, k] = 1
+                else:
+                    tip[s, g, k] = cs_
+            p = parents[i]
+            if p < 0:
+                dst_row[s, g] = -2     # root
+            else:
+                b = blk_of[step_of[p], parent_side[i]]
+                dst_row[s, g] = b * R + slot_of[p] * CSP
+                dst_sc[s, g] = b * G + slot_of[p]
+
+    return StreamPlan(
+        L=L, n_int=n_int, S=S, C=C, CS=CS, CSP=CSP, G=G, R=R, TS=TS,
+        n_steps=n_steps, n_steps_real=n_steps_real, ring_blocks=ring_blocks,
+        src_blk=src_blk, edge=edge, is_int=is_int, tip=tip,
+        dst_row=dst_row, dst_sc=dst_sc, valid=valid, node_of=node_of,
+        node_step=node_step, node_slot=node_slot)
+
+
+def plan_vmem_bytes(plan: StreamPlan, pt: int, export: bool) -> int:
+    """Estimated VMEM bytes for the kernel at pattern tile pt."""
+    ring = plan.ring_blocks * plan.R * pt * 4
+    sc = plan.ring_blocks * plan.G * 8 * pt * 4 if export else 0
+    # double-buffered streamed ins: tips x2 sides, ops, tipops (+ tiny)
+    ins = 2 * (2 * plan.TS * pt * 4
+               + 2 * plan.R * plan.R * 4
+               + 2 * plan.R * plan.TS * 4
+               + plan.S * pt * 4 + pt * 4)
+    outs = 2 * pt * 4
+    if export:
+        outs += 2 * (plan.R + plan.G) * pt * 4
+    scratch = (plan.CSP + 8) * pt * 4
+    return ring + sc + ins + outs + scratch
+
+
+def pick_tile(plan: StreamPlan, Pp: int,
+              budget: int = 13 * 1024 * 1024, export: bool = False
+              ) -> int | None:
+    for pt in (2048, 1024, 512, 256, 128):
+        if Pp % pt != 0:
+            continue
+        if plan_vmem_bytes(plan, pt, export) <= budget:
+            return pt
+    return None

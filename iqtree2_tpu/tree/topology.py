@@ -163,7 +163,8 @@ class Tree:
     def topology_id(self) -> str:
         """Canonical topology string (sorted splits) for candidate-set
         dedup (reference analog: getTopologyString)."""
-        keys = sorted(tuple(sorted(s)) for s in self.splits().keys())
+        keys = sorted(tuple(int(x) for x in sorted(s))
+                      for s in self.splits().keys())
         return repr(keys)
 
     # ----------------------------------------------------------------- NNI

@@ -12,6 +12,10 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter startup, so the
+# JAX_PLATFORMS env assignment above is too late there — pin the platform
+# through the live config as well (this is what actually takes effect).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,67 @@
+"""NNI5 evaluation: predicted candidate logL must equal the true tree logL
+after applying the swap + all five optimized branch lengths (float64, CPU).
+Also: 5-branch optimization must never score below 1-branch optimization.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from tests.test_pallas2 import _setup
+from iqtree2_tpu.ops.nni import build_nni_candidates
+from iqtree2_tpu.search.nni import _slot_node
+from iqtree2_tpu.tree.schedule import build_schedule
+from iqtree2_tpu.engine import LikelihoodEngine
+
+
+def _engine64(eng):
+    return LikelihoodEngine(eng.aln, eng.model, eng.rates,
+                            dtype=jnp.float64)
+
+
+def test_nni5_predicted_logl_matches_applied():
+    eng32, tree = _setup(12, npat=64, seed=3)
+    eng = _engine64(eng32)
+    eng.optimize_branches(tree, n_rounds=6)
+    sched = build_schedule(tree)
+    cand = build_nni_candidates(tree, sched)
+    ca = (jnp.asarray(cand.iu), jnp.asarray(cand.iv),
+          jnp.asarray(cand.slot_c), jnp.asarray(cand.edge_id))
+    logl5, t_e, t5 = eng.evaluate_nni_batch(sched, ca, nni5=True)
+    logl1, _ = eng.evaluate_nni_batch(sched, ca)
+    # 5-branch optimization dominates central-only everywhere
+    assert (logl5 >= logl1 - 1e-6).all()
+
+    L = sched.ntaxa
+    for ci in range(min(len(cand.nodes_u), 4)):
+        for var in range(2):
+            t = tree.copy()
+            iu, iv = int(cand.iu[ci]), int(cand.iv[ci])
+            u, v = cand.nodes_u[ci], cand.nodes_v[ci]
+            a_node = _slot_node(t, sched, iu, 0)
+            b_node = _slot_node(t, sched, iu, 1)
+            moved_slot = 1 if var == 0 else 0
+            x = _slot_node(t, sched, iu, moved_slot)
+            c = _slot_node(t, sched, iv, int(cand.slot_c[ci]))
+            t.swap_subtrees(u, x, v, c)
+            tv5 = t5[ci, var]
+            t.set_blen(u, v, float(t_e[ci, var]))
+            kept = a_node if var == 0 else b_node
+            t.set_blen(kept, u, float(tv5[0] if var == 0 else tv5[1]))
+            t.set_blen(c, u, float(tv5[2]))
+            t.set_blen(x, v, float(tv5[moved_slot]))
+            if iv != sched.n_int - 1:
+                vp = sched.edge_nodes[L + iv][1]
+                t.set_blen(v, vp, float(tv5[3]))
+            full = eng.loglik_tree(t)
+            assert abs(full - logl5[ci, var]) < 1e-5, \
+                (ci, var, full, logl5[ci, var])
+
+
+def test_nni5_search_quality():
+    from iqtree2_tpu.search.nni import nni_optimize
+    eng32, tree = _setup(10, npat=96, seed=11)
+    eng = _engine64(eng32)
+    t1 = tree.copy()
+    r5 = nni_optimize(eng, t1, nni5=True)
+    t2 = tree.copy()
+    r1 = nni_optimize(eng, t2, nni5=False)
+    assert r5.logL >= r1.logL - 0.05

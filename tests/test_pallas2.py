@@ -1,0 +1,107 @@
+"""Correctness of the v2 streaming Pallas kernel (interpret mode on CPU).
+
+Compares sitelp_v2 (and its export variant) against the XLA level-batched
+reference path on random topologies of several sizes, float32.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iqtree2_tpu.data import seqtypes
+from iqtree2_tpu.data.alignment import Alignment
+from iqtree2_tpu.engine import LikelihoodEngine
+from iqtree2_tpu.model.dna import make_dna_model
+from iqtree2_tpu.model.rates import RateGamma
+from iqtree2_tpu.ops import pruning
+from iqtree2_tpu.ops import pallas_pruning2 as pp2
+from iqtree2_tpu.tree.plan2 import build_stream_plan, pick_tile, slot_pitch
+from iqtree2_tpu.tree.schedule import build_schedule
+from iqtree2_tpu.tree.topology import Tree
+
+
+def _setup(ntaxa, npat, seed=0, ncat=4):
+    rng = np.random.default_rng(seed)
+    st = seqtypes.dna_type()
+    pat = rng.integers(0, 4, size=(npat, ntaxa)).astype(np.int32)
+    codes = seqtypes.DNA_STATE_TO_CODE[pat]
+    aln = Alignment(names=[f"t{i}" for i in range(ntaxa)], seqtype=st,
+                    patterns=codes, pattern_weights=np.ones(npat),
+                    site_to_pattern=np.arange(npat, dtype=np.int32))
+    model = make_dna_model("GTR", freqs=np.array([0.3, 0.2, 0.2, 0.3]),
+                           freq_type="user",
+                           rate_params=np.array([1.5, 4.0, 1.2, 0.8, 5.0]))
+    rates = RateGamma(ncat, alpha=0.6)
+    eng = LikelihoodEngine(aln, model, rates, dtype=jnp.float32)
+    tree = Tree.random_topology(aln.names, rng)
+    return eng, tree
+
+
+@pytest.mark.parametrize("ntaxa", [8, 33, 80])
+def test_sitelp_v2_matches_xla(ntaxa):
+    eng, tree = _setup(ntaxa, npat=256, seed=ntaxa)
+    sched = build_schedule(tree)
+    sa = eng.schedule_arrays(sched)
+    blens = jnp.asarray(sched.blens, jnp.float32)
+    pack = eng._dev_pack
+    tipP = eng._dev_tipP
+
+    P = pruning.transition_tensors(blens, pack)
+    dp = pruning._down_pass_xla(P, tipP, sa)
+    Broot, SCroot = pruning.root_partial(dp, P, tipP, sched.n_int)
+    _, lp_ref = pruning.root_loglik(
+        Broot, SCroot, pack["root_freqs"], pack["cat_weight"],
+        pack["log_ptn_invar"], eng._dev_pw)
+
+    C = int(pack["cat_rate"].shape[0])
+    S = tipP.shape[1]
+    plan = build_stream_plan(sched, S=S, C=C)
+    pt = pick_tile(plan, eng.Pp)
+    assert pt is not None
+    ms, sl = plan.scalar_arrays()
+    pa = dict(p2_meta_step=jnp.asarray(ms), p2_meta_slot=jnp.asarray(sl),
+              p2_edge=jnp.asarray(plan.edge), p2_int=jnp.asarray(plan.is_int),
+              p2_tip=jnp.asarray(plan.tip))
+    wf = (pack["cat_weight"][:, None] * pack["root_freqs"]).reshape(-1)
+    lp2 = pp2.sitelp_v2(P, tipP, pa, wf, pack["log_ptn_invar"],
+                        CSP=slot_pitch(C * S), ring_blocks=plan.ring_blocks,
+                        pt=pt, interpret=True)
+    np.testing.assert_allclose(np.asarray(lp2), np.asarray(lp_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_export_v2_matches_down_pass():
+    eng, tree = _setup(24, npat=128, seed=5)
+    sched = build_schedule(tree)
+    sa = eng.schedule_arrays(sched)
+    blens = jnp.asarray(sched.blens, jnp.float32)
+    pack = eng._dev_pack
+    tipP = eng._dev_tipP
+    P = pruning.transition_tensors(blens, pack)
+    dp = pruning._down_pass_xla(P, tipP, sa)
+
+    C = int(pack["cat_rate"].shape[0])
+    S = tipP.shape[1]
+    plan = build_stream_plan(sched, S=S, C=C)
+    pt = pick_tile(plan, eng.Pp, export=True)
+    ms, sl = plan.scalar_arrays()
+    pa = dict(p2_meta_step=jnp.asarray(ms), p2_meta_slot=jnp.asarray(sl),
+              p2_edge=jnp.asarray(plan.edge), p2_int=jnp.asarray(plan.is_int),
+              p2_tip=jnp.asarray(plan.tip))
+    wf = (pack["cat_weight"][:, None] * pack["root_freqs"]).reshape(-1)
+    lp2, parts, scs = pp2.sitelp_v2(
+        P, tipP, pa, wf, pack["log_ptn_invar"], CSP=slot_pitch(C * S),
+        ring_blocks=plan.ring_blocks, pt=pt, export=True, interpret=True)
+    parts = np.asarray(parts)   # [n_steps, R, Pp]
+    scs = np.asarray(scs)       # [n_steps, G, Pp]
+    L = tipP.shape[0]
+    CS = C * S
+    ref_all = np.asarray(dp.all)      # [L+n_int, C, S, Pp]
+    ref_sc = np.asarray(dp.scale)
+    for i in range(sched.n_int):
+        s_, g_ = int(plan.node_step[i]), int(plan.node_slot[i])
+        got = parts[s_, g_ * plan.CSP: g_ * plan.CSP + CS].reshape(
+            C, S, -1)
+        np.testing.assert_allclose(got, ref_all[L + i], rtol=2e-5,
+                                   atol=1e-30)
+        np.testing.assert_allclose(scs[s_, g_], ref_sc[L + i], atol=0)
