@@ -48,12 +48,18 @@ class Logger:
 
 def _fit_model(eng, tree, eps, **kw):
     """Model+branch refit that also accepts the PMSF SSFEngine (whose only
-    free parameters are branch lengths and the Gamma shape)."""
+    free parameters are branch lengths and the Gamma shape) and the
+    heterotachy MixlenEngine (per-class branch lengths + EM weights)."""
     from iqtree2_tpu.model.pmsf import SSFEngine
     if isinstance(eng, SSFEngine):
         eng.optimize_branches(tree)
         eng.optimize_alpha(tree)
         return eng.optimize_branches(tree, n_rounds=4)
+    from iqtree2_tpu.model.heterotachy import MixlenEngine
+    if isinstance(eng, MixlenEngine):
+        # substitution-model params on mean lengths, then mixlen EM rounds
+        optimize_model_parameters(eng, tree, epsilon=max(eps, 0.1), **kw)
+        return eng.optimize_mixlen(tree)
     return optimize_model_parameters(eng, tree, epsilon=eps, **kw)
 
 
@@ -90,10 +96,29 @@ def run_analysis(params: Params) -> dict:
             log(f"ModelFinder-only run finished ({elapsed:.2f}s)")
             return {"model_selection": mf}
     model, rates, extras = build_model(model_str, aln)
-    eng = LikelihoodEngine(aln, model, rates, dtype=dtype,
-                           asc=extras.get("asc", False))
+    if extras.get("mixlen"):
+        from iqtree2_tpu.model.heterotachy import MixlenEngine
+        eng = MixlenEngine(aln, model, rates, dtype=dtype)
+    else:
+        eng = LikelihoodEngine(aln, model, rates, dtype=dtype,
+                               asc=extras.get("asc", False))
 
     rng = np.random.default_rng(params.seed)
+
+    if params.symtest:
+        from iqtree2_tpu.symtest import run_symtest, write_symtest_csv
+        results = []
+        if hasattr(aln, "partitions"):
+            for part in aln.partitions:
+                results.append((part.name, run_symtest(part)))
+        else:
+            results.append(("alignment", run_symtest(aln)))
+        write_symtest_csv(f"{prefix}.symtest.csv", results)
+        for name, r in results:
+            log(f"SymTest [{name}]: Bowker={r.bowker:.3f} "
+                f"(p={r.p_bowker:.4g}), Stuart p={r.p_stuart:.4g}, "
+                f"internal p={r.p_internal:.4g}")
+        log(f"Symmetry tests written to {prefix}.symtest.csv")
 
     # ---------------- PMSF two-pass (--pmsf) ------------------------------
     # Reference: computeSiteFrequencyModel (main/phyloanalysis.cpp:3744):
@@ -133,6 +158,39 @@ def run_analysis(params: Params) -> dict:
         ufboot = UFBoot(aln, n_replicates=params.ufboot_replicates,
                         seed=params.seed)
 
+    if extras.get("treemix"):
+        # +T tree mixture: trees from -te (one newick per line)
+        from iqtree2_tpu.model.treemix import TreeMixture
+        if not params.user_tree:
+            raise SystemExit("+T (tree mixture) requires -te FILE with "
+                             "two or more trees")
+        trees_t = _read_tree_set(params.user_tree, aln.names)
+        log(f"Tree mixture (+T): {len(trees_t)} trees")
+        optimize_model_parameters(eng, trees_t[0].copy(),
+                                  epsilon=max(params.model_eps, 0.1))
+        tm = TreeMixture(eng, trees_t,
+                         weights=extras.get("treemix_weights"))
+        logL = tm.fit(log=log)
+        tree = tm.trees[int(np.argmax(tm.weights))]
+        with open(f"{prefix}.treefile", "w") as f:
+            for t in tm.trees:
+                f.write(t.to_newick() + "\n")
+        search_info["Tree mixture weights"] = \
+            ", ".join(f"{w:.4f}" for w in tm.weights)
+        elapsed = time.time() - t_start
+        report_io.write_iqtree_report(
+            f"{prefix}.iqtree", params=params, aln=aln, model=model,
+            rates=rates, tree=tree, logL=logL, search_info=search_info,
+            model_selection=None, support=None, elapsed=elapsed,
+            tree_tests=None)
+        ckp.put("finished", True)
+        ckp.dump(force=True)
+        log(f"Tree-mixture analysis done in {elapsed:.2f}s; mixture logL "
+            f"{logL:.4f}")
+        log.close()
+        return {"logL": logL, "trees": tm.trees,
+                "weights": tm.weights.tolist(), "elapsed": elapsed}
+
     if params.user_tree:
         log(f"Reading fixed topology from {params.user_tree}")
         tree = Tree.from_newick(Path(params.user_tree).read_text(),
@@ -159,7 +217,15 @@ def run_analysis(params: Params) -> dict:
             max_iterations=params.max_iterations,
             unsuccess_iteration=params.unsuccess_iteration,
             fixed_iterations=params.n_iterations)
-        search = TreeSearch(eng, aln, sp, ufboot=ufboot, log=log, ckp=ckp)
+        constraint = None
+        if params.constraint_tree:
+            from iqtree2_tpu.tree.constraint import TopologyConstraint
+            constraint = TopologyConstraint(
+                Path(params.constraint_tree).read_text(), aln.names)
+            log(f"Constraint tree (-g): {len(constraint.splits)} splits "
+                f"over {len(constraint.mask)} taxa will be enforced")
+        search = TreeSearch(eng, aln, sp, ufboot=ufboot, log=log, ckp=ckp,
+                            constraint=constraint)
         if ckp.get("search.finished") and not params.redo:
             fin = ckp.get("search.finished")
             tree = Tree.from_newick(fin["tree"], aln.names)
@@ -194,6 +260,14 @@ def run_analysis(params: Params) -> dict:
     # ---------------- supports -------------------------------------------
     if ufboot is not None:
         support = ufboot.supports_for(tree)
+        if params.tbe:
+            # transfer bootstrap expectation over the replicate trees
+            # (reference: --tbe via booster, main/phyloanalysis.cpp:3668)
+            from iqtree2_tpu.tbe import tbe_supports
+            reps = [ufboot.trees_newick[t] for t in ufboot.boot_trees
+                    if t is not None]
+            support = {k: round(v) for k, v in
+                       tbe_supports(tree, reps, aln.names).items()}
         contree = ufboot.consensus_tree()
         report_io.write_treefile(f"{prefix}.contree", contree)
         # .ufboot replicate trees

@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-abayes", dest="abayes", action="store_true")
     p.add_argument("-lbp", dest="lbp_replicates", type=int, default=0)
     p.add_argument("--runs", dest="num_runs", type=int, default=1)
+    p.add_argument("--tbe", dest="tbe", action="store_true",
+                   help="transfer bootstrap expectation supports "
+                        "(booster/booster.h)")
+    p.add_argument("--symtest", dest="symtest", action="store_true",
+                   help="matched-pairs symmetry tests (doSymTest)")
     p.add_argument("-blfix", dest="fix_branch_lengths",
                    action="store_true")
     p.add_argument("-blmin", dest="min_branch_length", type=float,
@@ -86,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compute RF distance between -t tree(s) and FILE")
     p.add_argument("-rf_all", dest="rf_all", action="store_true",
                    help="all-to-all RF distances of the -t tree set")
+    p.add_argument("-pd", dest="pd_k", type=int, default=0,
+                   help="phylogenetic diversity: best k-taxon subset of "
+                        "the -t tree (pda/ analog)")
     p.add_argument("-con", dest="consensus_of", default="",
                    help="majority-rule consensus of trees in FILE")
     p.add_argument("-r", dest="random_tree_n", type=int, default=0,
@@ -160,6 +168,20 @@ def main(argv=None) -> int:
         with open(out, "w") as f:
             f.write(con.to_newick(support=support) + "\n")
         print(f"Majority-rule consensus of {len(trees)} trees -> {out}")
+        return 0
+    if getattr(args, "pd_k", 0) > 0:
+        from iqtree2_tpu.analysis import _read_tree_set
+        from iqtree2_tpu.pd import greedy_pd, write_pda_report
+        src_t = pr.start_tree or pr.user_tree
+        if not src_t:
+            print("error: -pd requires -t TREE", file=sys.stderr)
+            return 2
+        trees = _read_tree_set(src_t, None)
+        t = trees[0]
+        taxa, pd, steps = greedy_pd(t, args.pd_k)
+        out = (pr.out_prefix or src_t) + ".pda"
+        write_pda_report(out, t, taxa, pd, steps)
+        print(f"Greedy PD (k={args.pd_k}): {pd:.6f} -> {out}")
         return 0
     if pr.rf_tree_file or pr.rf_all:
         from iqtree2_tpu.analysis import _read_tree_set

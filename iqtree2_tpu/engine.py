@@ -74,11 +74,18 @@ def _optimize_blens_jit(blens, tipP, sched, pack, pattern_weights,
 
         def cond(state):
             cur, lcur, k = state
-            return (lcur < logL_prev - 1e-9) & (k < 4)
+            # NaN-safe: a NaN logL must keep backtracking
+            return jnp.logical_not(lcur >= logL_prev - 1e-9) \
+                & (k < 4)
 
         l_prop = lg(prop)
         prop, l_new, _ = jax.lax.while_loop(
             cond, body, (prop, l_prop, jnp.zeros((), jnp.int32)))
+        # monotonicity guarantee: if backtracking ran out, keep the old
+        # lengths (reference contract: optimizeAllBranches never worsens)
+        worse = jnp.logical_not(l_new >= logL_prev - 1e-9)
+        prop = jnp.where(worse, blens, prop)
+        l_new = jnp.where(worse, logL_prev, l_new)
         return (prop, l_new), l_new
 
     l0 = lg(blens)
@@ -119,11 +126,18 @@ def _optimize_blens_nonrev_jit(blens, tipP, sched, pack, pattern_weights,
 
         def cond(state):
             cur, lcur, k = state
-            return (lcur < logL_prev - 1e-9) & (k < 4)
+            # NaN-safe: a NaN logL must keep backtracking
+            return jnp.logical_not(lcur >= logL_prev - 1e-9) \
+                & (k < 4)
 
         l_prop = lg(prop)
         prop, l_new, _ = jax.lax.while_loop(
             cond, body, (prop, l_prop, jnp.zeros((), jnp.int32)))
+        # monotonicity guarantee: if backtracking ran out, keep the old
+        # lengths (reference contract: optimizeAllBranches never worsens)
+        worse = jnp.logical_not(l_new >= logL_prev - 1e-9)
+        prop = jnp.where(worse, blens, prop)
+        l_new = jnp.where(worse, logL_prev, l_new)
         return (prop, l_new), l_new
 
     l0 = lg(blens)

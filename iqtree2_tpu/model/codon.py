@@ -171,10 +171,87 @@ class CodonModel(SubstModel):
         return len(self.get_params())
 
 
+class EmpiricalCodonModel(SubstModel):
+    """Empirical codon exchangeability models: KOSI07 (ECM unrestricted,
+    Kosiol et al. 2007), ECMREST (single-step restricted) and SCHN05
+    (Schneider et al. 2005). Matrices extracted from the reference's
+    embedded constants (model/modelcodon.cpp:16-160, readCodonModel :699)
+    by tools/extract_codon_ecm.py — published scientific data.
+
+    Q_ij = s_ij * pi_j; pi defaults to the published model frequencies
+    (the reference's FREQ_USER_DEFINED) or counted codon frequencies
+    with +F."""
+
+    _DATA = None
+
+    def __init__(self, aln: Alignment, name: str, freq_mode: str | None):
+        from pathlib import Path
+        st = aln.seqtype
+        self.gid = int(st.name[5:])
+        if self.gid != 1:
+            raise ValueError(f"{name} requires the standard genetic code "
+                             "(reference: modelcodon.cpp:344)")
+        if EmpiricalCodonModel._DATA is None:
+            EmpiricalCodonModel._DATA = np.load(
+                Path(__file__).parent / "data" / "codon_ecm.npz")
+        d = EmpiricalCodonModel._DATA
+        key = {"ECM": "KOSI07", "ECMK07": "KOSI07", "KOSI07": "KOSI07",
+               "ECMREST": "ECMREST",
+               "SCHN05": "SCHN05", "ECMS05": "SCHN05"}[name.upper()]
+        self.name = key
+        self.num_states = aln.num_states
+        # map the published codon order onto our sense-codon order
+        idx, sense, _ = seqtypes.codon_maps(self.gid)
+        tri_to_ours = {int(t): k for k, t in enumerate(sense)}
+        perm = np.zeros(len(sense), dtype=np.int64)
+        for row, cod in enumerate(d[f"{key}_codons"]):
+            tri = (_TCAG.index(cod[0]) * 16 + _TCAG.index(cod[1]) * 4
+                   + _TCAG.index(cod[2]))
+            perm[tri_to_ours[tri]] = row
+        M = np.asarray(d[f"{key}_exch"])[np.ix_(perm, perm)]
+        pub_f = np.asarray(d[f"{key}_freqs"])[perm]
+        self._exch_full = M
+        if freq_mode in (None, "user"):
+            self.freqs = pub_f / pub_f.sum()
+            self.freq_type = "user"
+        else:
+            self.freqs = count_codon_freqs(aln, freq_mode)
+            self.freq_type = "empirical"
+
+    def get_eigensystem(self) -> Eigensystem:
+        iu = np.triu_indices(self.num_states, 1)
+        Q = build_gtr_rate_matrix(self._exch_full[iu], self.freqs)
+        w, U, V, W = eigen_reversible(Q, self.freqs)
+        return Eigensystem(eigvals=w[None], U=U[None], V=V[None],
+                           freqs=self.freqs[None], mix_weights=np.ones(1),
+                           W=W[None])
+
+    def get_params(self) -> np.ndarray:
+        return np.zeros(0)
+
+    def set_params(self, x) -> None:
+        pass
+
+    def param_bounds(self):
+        return np.zeros(0), np.zeros(0)
+
+    def num_free_params(self) -> int:
+        return 0
+
+
+EMPIRICAL_CODON_NAMES = {"ECM", "ECMK07", "KOSI07", "ECMREST", "SCHN05",
+                         "ECMS05"}
+
+
 def make_codon_model(spec, aln: Alignment) -> CodonModel:
     """Factory entry: spec.base in {GY, MG, GY2K,...}; params {kappa,omega};
-    frequency term +F/+F1X4/+F3X4/+FQ."""
+    frequency term +F/+F1X4/+F3X4/+FQ; empirical KOSI07/SCHN05/ECMREST."""
     base = spec.base.upper()
+    if base in EMPIRICAL_CODON_NAMES:
+        fmode = None if spec.freq_type in (None, "user") else \
+            {"empirical": "F", "equal": "FQ"}.get(spec.freq_type,
+                                                  spec.freq_type)
+        return EmpiricalCodonModel(aln, base, fmode)
     if base in ("CODON", "GTR"):  # default for codon data
         base = "GY"
     kappa, omega = 4.0, 1.0

@@ -72,12 +72,16 @@ def parse_model_string(s: str) -> ModelSpec:
             rate_terms.append(("G", num or 4, params))
         elif kind == "R":
             rate_terms.append(("R", num or 4, params))
-        elif kind == "E":
-            rate_terms.append(("E", 1, params))  # seq error; handled later
+        elif kind in ("E", "EA", "EC", "EG", "ET"):
+            rate_terms.append((kind, 1, params))  # sequencing error
         elif kind == "ASC":
             rate_terms.append(("ASC", 1, params))
         elif kind == "H":
             rate_terms.append(("H", num or 4, params))
+        elif kind == "T":
+            rate_terms.append(("T", num or 0, params))  # tree mixture
+        elif kind == "P":
+            rate_terms.append(("P", num or 9, params))  # PoMo
         else:
             raise ValueError(f"unsupported model term +{kind} in {s!r}")
     return ModelSpec(base, base_params, freq_type, freq_params, rate_terms,
@@ -201,8 +205,45 @@ def build_model(spec_str: str, aln: Alignment) -> tuple[SubstModel, RateModel,
         raise ValueError(
             f"model {spec.base!r} not supported for seqtype {st}")
 
+    model = _maybe_wrap_seqerror(model, spec, extras, st)
+    model = _maybe_pomo(model, spec, extras, st, aln)
     rates = _build_rates(spec, extras)
     return model, rates, extras
+
+
+def _maybe_pomo(model, spec, extras: dict, st: str, aln):
+    """+P{N}: replace the DNA model with the polymorphism-aware PoMo
+    state space built on its mutation parameters (model/modelpomo.h:40)."""
+    for kind, n, p in spec.rate_terms:
+        if kind != "P":
+            continue
+        if st != "DNA":
+            raise ValueError("PoMo (+P) requires DNA data")
+        from iqtree2_tpu.model.pomo import PoMoModel
+        exch = getattr(model, "exch_rates", None)
+        freqs = aln.state_frequencies()
+        N = n or 9
+        extras["pomo"] = N
+        theta = p[0] if p else 0.01
+        return PoMoModel(N=N, exch=exch, freqs=freqs, theta=theta,
+                         fix_theta=bool(p))
+    return model
+
+
+def _maybe_wrap_seqerror(model, spec, extras: dict, st: str):
+    """+E/+EA/+EC/+EG/+ET: wrap a DNA model with the sequencing-error tip
+    transform (model/modeldnaerror.cpp)."""
+    for kind, _, p in spec.rate_terms:
+        if kind in ("E", "EA", "EC", "EG", "ET"):
+            if st != "DNA":
+                raise ValueError("+E sequencing error requires DNA data")
+            from iqtree2_tpu.model.seqerror import DNAErrorModel
+            base = -1 if kind == "E" else "ACGT".index(kind[1])
+            eps = p[0] if p else 0.05
+            extras["seqerr"] = kind
+            return DNAErrorModel(model, epsilon=eps, fix_epsilon=bool(p),
+                                 error_base=base)
+    return model
 
 
 def _build_rates(spec: ModelSpec, extras: dict) -> RateModel:
@@ -211,10 +252,26 @@ def _build_rates(spec: ModelSpec, extras: dict) -> RateModel:
     if "ASC" in kinds:
         extras["asc"] = True
     get = {k: (n, p) for (k, n, p) in spec.rate_terms}
+    if "T" in kinds:
+        # +T: tree-mixture model (IQTreeMix, tree/iqtreemix.h:21) — trees
+        # supplied separately; weights optionally pinned by +T{w1,...}
+        extras["treemix"] = True
+        extras["treemix_weights"] = get["T"][1] or None
+        kinds.discard("T")
 
     # "+X{v}" brace parameters FIX the value (reference semantics: the model
     # string grammar of ModelFactory, model/modelfactory.cpp:151); the fix
     # flags live on the rate objects so every optimizer path honors them.
+    if "H" in kinds:
+        # +H{k}: heterotachy (GHOST) — k classes with their own branch
+        # lengths; weights EM-optimized (tree/phylotreemixlen.cpp)
+        if kinds - {"H"}:
+            raise ValueError("+H cannot be combined with other rate terms")
+        from iqtree2_tpu.model.heterotachy import RateHeterotachy
+        n, p = get["H"]
+        extras["mixlen"] = n
+        return RateHeterotachy(n, weights=p or None)
+
     p_inv = 0.0
     fix_pinv = False
     if "I" in kinds:

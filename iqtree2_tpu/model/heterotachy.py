@@ -1,0 +1,194 @@
+"""Heterotachy (+H / mixlen) models: H classes sharing one substitution
+model but each with its OWN branch lengths; class weights optimized by EM.
+
+Reference analogs: RateHeterotachy (model/rateheterotachy.cpp) +
+PhyloTreeMixlen (tree/phylotreemixlen.cpp — per-category lengths via EM +
+per-category Newton, computeLikelihoodDervMixlen).
+
+TPU mapping: branch lengths become a [n_edges, H] tensor; the transition
+builder broadcasts per-category lengths (ops/pruning.transition_tensors
+accepts 2-D blens), so the SAME pruning kernels serve +H with zero extra
+kernel code. Branch optimization uses the mixlen coordinate-Newton on the
+shared theta buffers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from iqtree2_tpu.engine import LikelihoodEngine, DEFAULT_MIN_BLEN, \
+    DEFAULT_MAX_BLEN
+from iqtree2_tpu.model.rates import RateModel
+from iqtree2_tpu.ops import pruning
+from iqtree2_tpu.tree.schedule import build_schedule, write_blens_to_tree
+
+
+class RateHeterotachy(RateModel):
+    """+H{k}: k classes, all rates 1, free weights (optimized by EM —
+    reference: RateHeterotachy::optimizeWithEM)."""
+
+    def __init__(self, ncat: int, weights=None):
+        self._ncat = ncat
+        self.weights = (np.full(ncat, 1.0 / ncat) if weights is None
+                        else np.asarray(weights, float))
+        self.name = f"+H{ncat}"
+
+    @property
+    def ncat(self) -> int:
+        return self._ncat
+
+    def category_rates(self) -> np.ndarray:
+        return np.ones(self.ncat)
+
+    def category_weights(self) -> np.ndarray:
+        return self.weights / self.weights.sum()
+
+    # weights are EM-optimized by the engine, not by generic L-BFGS
+    def get_params(self) -> np.ndarray:
+        return np.zeros(0)
+
+    def set_params(self, x) -> None:
+        pass
+
+    def param_bounds(self):
+        return np.zeros(0), np.zeros(0)
+
+    def num_free_params(self) -> int:
+        return self.ncat - 1
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton"))
+def _optimize_mixlen_jit(blens2, tipP, sched, pack, pattern_weights,
+                         t_min, t_max, n_rounds: int, n_newton: int):
+    """All-branch mixlen Newton rounds with joint backtracking
+    (the [E, H] analog of engine._optimize_blens_jit)."""
+    dtype = tipP.dtype
+
+    def lg(b2):
+        return pruning.tree_loglik(b2, tipP, sched, pack,
+                                   pattern_weights)[0]
+
+    def one_round(carry, _):
+        b2, logL_prev = carry
+        P = pruning.transition_tensors(b2.astype(dtype), pack)
+        dp = pruning.down_pass(P, tipP, sched)
+        up = pruning.up_pass(P, dp, tipP, sched, pack["root_freqs"])
+        th = pruning.edge_thetas(up, dp, sched["edge_src"], pack)
+        newton = jax.vmap(
+            lambda tv, th_e, sc_e: pruning.newton_branch_step_mixlen(
+                th_e, sc_e, tv, pack, pack["log_ptn_invar"],
+                pattern_weights, t_min, t_max, n_iter=n_newton))
+        prop = jnp.clip(newton(b2.astype(dtype), th.theta, th.scale),
+                        t_min, t_max)
+
+        def body(state):
+            cur, _, k = state
+            cur = 0.5 * (cur + b2)
+            return cur, lg(cur), k + 1
+
+        def cond(state):
+            # NaN-safe: a NaN logL must keep backtracking
+            return jnp.logical_not(state[1] >= logL_prev - 1e-9) \
+                & (state[2] < 4)
+
+        l_prop = lg(prop)
+        prop, l_new, _ = jax.lax.while_loop(
+            cond, body, (prop, l_prop, jnp.zeros((), jnp.int32)))
+        # monotonicity guarantee: if backtracking ran out, keep the old
+        # lengths (reference contract: optimizeAllBranches never worsens)
+        worse = jnp.logical_not(l_new >= logL_prev - 1e-9)
+        prop = jnp.where(worse, b2, prop)
+        l_new = jnp.where(worse, logL_prev, l_new)
+        return (prop, l_new), l_new
+
+    l0 = lg(blens2)
+    (blens2, logL), _ = jax.lax.scan(one_round, (blens2, l0), None,
+                                     length=n_rounds)
+    return blens2, logL
+
+
+@jax.jit
+def _class_posterior_jit(blens2, tipP, sched, pack, pattern_weights):
+    """(logL, class posterior [C]) — weighted mean over patterns of
+    post(c|p), the EM E-step for the class weights."""
+    dtype = tipP.dtype
+    P = pruning.transition_tensors(blens2.astype(dtype), pack)
+    dp = pruning.down_pass(P, tipP, sched)
+    n_int = sched["child_src"].shape[0]
+    Broot, SCroot = pruning.root_partial(dp, P, tipP, n_int)
+    lh_cat = jnp.einsum("cx,cxp->cp", pack["root_freqs"], Broot,
+                        precision=jax.lax.Precision.HIGHEST)
+    wl = pack["cat_weight"][:, None] * lh_cat
+    tot = jnp.maximum(wl.sum(0, keepdims=True), jnp.finfo(dtype).tiny)
+    post = wl / tot                                    # [C, P]
+    wsum = jnp.maximum(pattern_weights.sum(), 1.0)
+    w_new = (post * pattern_weights[None, :]).sum(1) / wsum
+    logL, _ = pruning.root_loglik(
+        Broot, SCroot, pack["root_freqs"], pack["cat_weight"],
+        pack["log_ptn_invar"], pattern_weights)
+    return logL, w_new
+
+
+class MixlenEngine(LikelihoodEngine):
+    """Engine over +H models: per-category branch lengths [E, H].
+
+    Fixed-topology evaluation/optimization (the reference's -te +H flow);
+    the last optimized mixlen vector set is kept on the engine."""
+
+    def __init__(self, aln, model, rates: RateHeterotachy, **kw):
+        super().__init__(aln, model, rates, **kw)
+        self.mixlen = rates.ncat
+        self.blens2: np.ndarray | None = None
+
+    def init_blens2(self, sched) -> np.ndarray:
+        """Spread initial per-class lengths around the tree's lengths
+        (reference initializes classes at 0.5x..1.5x to break symmetry)."""
+        H = self.mixlen
+        spread = np.linspace(0.5, 1.5, H)
+        return np.maximum(sched.blens[:, None] * spread[None, :],
+                          DEFAULT_MIN_BLEN)
+
+    def optimize_mixlen(self, tree, n_outer: int = 5, n_rounds: int = 4,
+                        n_newton: int = 4) -> float:
+        """Alternate (branch-length Newton rounds) with (EM weight
+        updates) until done; writes the weight-averaged lengths back to
+        the host tree and keeps self.blens2."""
+        sched = build_schedule(tree)
+        sa = self.schedule_arrays(sched)
+        b2 = jnp.asarray(self.blens2 if self.blens2 is not None and
+                         self.blens2.shape[0] == sched.n_edges
+                         else self.init_blens2(sched), self.dtype)
+        t_min = jnp.asarray(DEFAULT_MIN_BLEN, self.dtype)
+        t_max = jnp.asarray(DEFAULT_MAX_BLEN, self.dtype)
+        logL = -np.inf
+        for _ in range(n_outer):
+            b2, logL = _optimize_mixlen_jit(
+                b2, self._dev_tipP, sa, self._dev_pack, self._dev_pw,
+                t_min, t_max, n_rounds, n_newton)
+            _, w_new = _class_posterior_jit(
+                b2, self._dev_tipP, sa, self._dev_pack, self._dev_pw)
+            w_new = np.maximum(np.asarray(w_new, np.float64), 1e-6)
+            self.rates.weights = w_new / w_new.sum()
+            self.refresh_model()
+        logL = float(logL)
+        self.blens2 = np.asarray(b2, np.float64)
+        mean_b = (self.blens2 *
+                  self.rates.category_weights()[None, :]).sum(1)
+        write_blens_to_tree(tree, sched, mean_b)
+        return float(_class_posterior_jit(
+            jnp.asarray(self.blens2, self.dtype), self._dev_tipP, sa,
+            self._dev_pack, self._dev_pw)[0])
+
+    def loglik_mixlen(self, tree) -> float:
+        sched = build_schedule(tree)
+        if self.blens2 is None or self.blens2.shape[0] != sched.n_edges:
+            self.blens2 = self.init_blens2(sched)
+        logL, _ = _class_posterior_jit(
+            jnp.asarray(self.blens2, self.dtype), self._dev_tipP,
+            self.schedule_arrays(sched), self._dev_pack, self._dev_pw)
+        return float(logL)

@@ -103,6 +103,12 @@ def build_model_pack(aln: Alignment, model: SubstModel,
     else:
         log_inv = np.full(P, -np.inf)
 
+    tip_table = aln.seqtype.tip_table.copy()
+    if hasattr(model, "transform_tip_table"):
+        # sequencing-error models (+E) reshape the tip likelihoods
+        # (model/modeldnaerror.cpp:89)
+        tip_table = model.transform_tip_table(tip_table)
+
     return ModelPack(
         eigvals=eig.eigvals, U=eig.U, V=eig.V,
         W=eig.W,
@@ -111,6 +117,6 @@ def build_model_pack(aln: Alignment, model: SubstModel,
         Q=eig.Q,
         cat_rate=cat_rate, cat_weight=cat_weight, cat_mix=cat_mix,
         root_freqs=root_freqs,
-        tip_table=aln.seqtype.tip_table.copy(),
+        tip_table=tip_table,
         log_ptn_invar=log_inv, p_invar=float(p_inv),
         mean_freqs=mean_freqs)

@@ -63,12 +63,17 @@ def fitch_score(tree: Tree, masks: np.ndarray,
 
 
 def random_stepwise_addition(aln: Alignment, rng: np.random.Generator,
-                             subsample: int | None = None) -> Tree:
+                             subsample: int | None = None,
+                             constraint=None) -> Tree:
     """Randomized stepwise-addition parsimony tree.
 
     Insert taxa in random order, each at the edge minimizing the Fitch
     insertion cost (batched over all candidate edges). Reference analog:
     pllComputeRandomizedStepwiseAdditionParsimonyTree (tree/iqtree.cpp:746).
+
+    constraint: optional TopologyConstraint (-g) — insertion edges that
+    would break a constraint split are rejected (cheapest compatible edge
+    wins; reference: ConstraintTree gating in stepwise addition).
     """
     masks = state_bitmasks(aln)
     w = aln.pattern_weights
@@ -136,12 +141,34 @@ def random_stepwise_addition(aln: Alignment, rng: np.random.Generator,
         C = np.stack(ctx_sets)                    # [E, P]
         x = masks[leaf][None, :]                  # [1, P]
         delta = (((C & x) == 0) * w[None, :]).sum(axis=1)
-        best = int(np.argmin(delta))
-        a, b = edges[best]
-        mid = tree.new_node()
-        lold = tree.get_blen(a, b)
-        tree.remove_edge(a, b)
-        tree.add_edge(a, mid, lold * 0.5)
-        tree.add_edge(mid, b, lold * 0.5)
-        tree.add_edge(mid, leaf, 0.1)
+
+        def insert(a, b):
+            mid = tree.new_node()
+            lold = tree.get_blen(a, b)
+            tree.remove_edge(a, b)
+            tree.add_edge(a, mid, lold * 0.5)
+            tree.add_edge(mid, b, lold * 0.5)
+            tree.add_edge(mid, leaf, 0.1)
+            return mid, lold
+
+        def undo(mid, a, b, lold):
+            tree.remove_edge(a, mid)
+            tree.remove_edge(mid, b)
+            tree.remove_edge(mid, leaf)
+            tree.add_edge(a, b, lold)
+
+        if constraint is None or leaf not in constraint.mask:
+            a, b = edges[int(np.argmin(delta))]
+            insert(a, b)
+        else:
+            placed = False
+            for ei in np.argsort(delta):
+                a, b = edges[int(ei)]
+                mid, lold = insert(a, b)
+                if constraint.compatible(tree):
+                    placed = True
+                    break
+                undo(mid, a, b, lold)
+            if not placed:   # no compatible edge (should not happen)
+                insert(*edges[int(np.argmin(delta))])
     return tree

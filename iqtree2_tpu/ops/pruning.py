@@ -59,6 +59,10 @@ def scaling_consts(dtype) -> tuple[float, float, float]:
 def transition_tensors(blens, pack):
     """P[e,c] = exp(Q_m r_c t_e)  -> [E, C, S, S].
 
+    blens may be [E] (one length per edge) or [E, C] (heterotachy /
+    mixlen models: one length per edge per category — reference analog
+    PhyloTreeMixlen, tree/phylotreemixlen.cpp).
+
     Reversible models use the cancellation-free orthonormal form
       P = D^{-1/2} (I + W diag(expm1(lambda r t)) W^T) D^{1/2}
     which keeps tiny off-diagonal entries accurate in float32 (the naive
@@ -70,14 +74,15 @@ def transition_tensors(blens, pack):
     per-category as in computePartialInfo (tree/phylokernelnew.h:896).
     """
     cat_mix = pack["cat_mix"]
+    t_ec = blens[:, None] if blens.ndim == 1 else blens      # [E, C]
     if pack.get("Q") is not None:
         Qc = pack["Q"][cat_mix]             # [C, S, S]
         A = Qc[None] * (pack["cat_rate"][None, :, None, None]
-                        * blens[:, None, None, None])   # [E, C, S, S]
+                        * t_ec[:, :, None, None])   # [E, C, S, S]
         return jnp.maximum(expm_ss(A), 0.0)
     lam = pack["eigvals"][cat_mix]          # [C, S]
     expo = lam[None, :, :] * pack["cat_rate"][None, :, None] \
-        * blens[:, None, None]              # [E, C, S]
+        * t_ec[:, :, None]                  # [E, C, S]
     if pack.get("W") is not None:
         Wc = pack["W"][cat_mix]             # [C, S, S]
         sq = pack["sqrt_freqs"][cat_mix]    # [C, S]
@@ -648,6 +653,55 @@ def branch_site_lp(theta, scale, t, pack, log_ptn_invar):
     tiny = jnp.finfo(dtype).tiny
     lp = jnp.log(jnp.maximum(site0, tiny)) - sc
     return jnp.logaddexp(lp, log_ptn_invar)
+
+
+def branch_lh_derivs_mixlen(theta, scale, tvec, pack, log_ptn_invar,
+                            pattern_weights):
+    """Per-category branch derivatives for heterotachy (+H) models: tvec
+    is [C] (one length per category); returns (logL, d1 [C], d2 [C]) where
+    d1/d2 are the per-category partial derivatives (cross-terms through
+    the site-likelihood denominator are kept — exact coordinate Newton).
+    Reference analog: computeLikelihoodDervMixlen
+    (tree/phylotreemixlen.cpp)."""
+    dtype = theta.dtype
+    _, _, log_rescale = scaling_consts(dtype)
+    lam = pack["eigvals"][pack["cat_mix"]]           # [C, K]
+    lr = lam * pack["cat_rate"][:, None]             # [C, K]
+    w = pack["cat_weight"]
+    et = jnp.exp(lr * tvec[:, None])                 # [C, K]
+    wet = w[:, None] * et
+    s0c = jnp.einsum("ckp,ck->cp", theta, wet, precision=HIGHEST)
+    site0 = jnp.maximum(s0c.sum(0), 0.0)
+    sc = scale.astype(dtype) * jnp.asarray(log_rescale, dtype)
+    tiny = jnp.finfo(dtype).tiny
+    lp = jnp.log(jnp.maximum(site0, tiny)) - sc
+    lp = jnp.logaddexp(lp, log_ptn_invar)
+    logL = jnp.sum(pattern_weights * lp)
+    s1c = jnp.einsum("ckp,ck->cp", theta, wet * lr, precision=HIGHEST)
+    s2c = jnp.einsum("ckp,ck->cp", theta, wet * lr * lr, precision=HIGHEST)
+    inv_scaled = jnp.exp(log_ptn_invar + sc)
+    denom = site0 + inv_scaled
+    d1p = s1c / denom                                # [C, P]
+    d2p = s2c / denom - d1p * d1p
+    d1 = jnp.einsum("p,cp->c", pattern_weights, d1p)
+    d2 = jnp.einsum("p,cp->c", pattern_weights, d2p)
+    return logL, d1, d2
+
+
+def newton_branch_step_mixlen(theta, scale, t0vec, pack, log_ptn_invar,
+                              pattern_weights, t_min, t_max,
+                              n_iter: int = 4):
+    """Bounded coordinate Newton on all C per-category lengths of one
+    branch jointly (each category's length updated from its own d1/d2)."""
+    def one(i, t):
+        _, d1, d2 = branch_lh_derivs_mixlen(theta, scale, t, pack,
+                                            log_ptn_invar, pattern_weights)
+        newton_t = t - d1 / d2
+        bad = (d2 >= 0) | ~jnp.isfinite(newton_t)
+        fallback = jnp.where(d1 > 0, jnp.minimum(t * 4.0, t_max),
+                             jnp.maximum(t * 0.25, t_min))
+        return jnp.where(bad, fallback, jnp.clip(newton_t, t_min, t_max))
+    return jax.lax.fori_loop(0, n_iter, one, t0vec)
 
 
 def newton_branch_step(theta, scale, t0, pack, log_ptn_invar,

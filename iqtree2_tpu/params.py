@@ -38,6 +38,8 @@ class Params:
     abayes: bool = False              # -abayes
     lbp_replicates: int = 0           # -lbp
     num_runs: int = 1                 # --runs
+    tbe: bool = False                 # --tbe (transfer bootstrap)
+    symtest: bool = False             # --symtest
     # numerics
     min_branch_length: float = 1e-6   # -blmin
     max_branch_length: float = 10.0   # -blmax

@@ -37,6 +37,7 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
                  max_rounds: int = 100,
                  blen_rounds: int = 4,
                  nni5: bool = True,
+                 constraint=None,
                  verbose: bool = False) -> NNIResult:
     """Hill-climb with NNI moves until no improving move remains.
 
@@ -92,6 +93,9 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
             x = _slot_node(tree, sched, iu, moved_slot)
             c = _slot_node(tree, sched, iv, int(cand.slot_c[ci]))
             tree.swap_subtrees(u, x, v, c)
+            if constraint is not None and not constraint.compatible(tree):
+                tree.swap_subtrees(u, c, v, x)   # undo: violates -g
+                continue
             tree.set_blen(u, v, float(t_opt[ci, var]))
             if t5 is None:
                 used_nodes.update([u, v])

@@ -17,8 +17,12 @@ from iqtree2_tpu.tree.topology import Tree
 
 def random_nnis(tree: Tree, rng: np.random.Generator,
                 strength: float = 0.5,
-                forbidden_splits: set | None = None) -> int:
-    """Apply floor((L-3)*strength) random NNIs in place; returns count."""
+                forbidden_splits: set | None = None,
+                constraint=None) -> int:
+    """Apply floor((L-3)*strength) random NNIs in place; returns count.
+
+    constraint: optional TopologyConstraint (-g) — moves that would break
+    a constraint split are undone (NNIs are self-inverse)."""
     n = max(1, int((tree.ntaxa - 3) * strength))
     applied = 0
     for _ in range(n):
@@ -34,7 +38,16 @@ def random_nnis(tree: Tree, rng: np.random.Generator,
                 else all_t - side
             if key in forbidden_splits:
                 continue
-        tree.apply_nni(a, b, int(rng.integers(0, 2)))
+        variant = int(rng.integers(0, 2))
+        if constraint is None:
+            tree.apply_nni(a, b, variant)
+        else:
+            x = [t for t in tree.adj[a] if t != b][0]
+            y = [t for t in tree.adj[b] if t != a][variant]
+            tree.swap_subtrees(a, x, b, y)
+            if not constraint.compatible(tree):
+                tree.swap_subtrees(a, y, b, x)   # undo
+                continue
         applied += 1
     return applied
 

@@ -56,7 +56,7 @@ class SearchResult:
 class TreeSearch:
     def __init__(self, eng: LikelihoodEngine, aln: Alignment,
                  params: SearchParams | None = None,
-                 ufboot=None, log=None, ckp=None):
+                 ufboot=None, log=None, ckp=None, constraint=None):
         self.eng = eng
         self.aln = aln
         self.params = params or SearchParams()
@@ -66,6 +66,7 @@ class TreeSearch:
         self.ufboot = ufboot  # optional UFBoot collector
         self.log = log or (lambda s: None)
         self.ckp = ckp        # optional Checkpoint (mid-search resume)
+        self.constraint = constraint   # optional TopologyConstraint (-g)
         self._resume_iter = 0
 
     # ----------------------------------------------------------- checkpoint
@@ -116,7 +117,8 @@ class TreeSearch:
         scored: list[tuple[float, Tree]] = []
         seen: set[str] = set()
         for i in range(p.n_init_trees):
-            t = random_stepwise_addition(self.aln, self.rng)
+            t = random_stepwise_addition(self.aln, self.rng,
+                                         constraint=self.constraint)
             tid = t.topology_id()
             if tid in seen:
                 continue
@@ -129,7 +131,8 @@ class TreeSearch:
             D = hamming_jc_distances(self.aln)
         tb = bionj_tree(D, self.aln.names)
         tb.clamp_blens(1e-6, 10.0)
-        scored.append((fitch_score(tb, masks, w), tb))
+        if self.constraint is None or self.constraint.compatible(tb):
+            scored.append((fitch_score(tb, masks, w), tb))
         scored.sort(key=lambda x: x[0])
 
         # quick branch optimization on the best parsimony trees
@@ -143,7 +146,8 @@ class TreeSearch:
         for it in list(self.cands.items[: p.pop_size]):
             t = it.tree.copy()
             res = nni_optimize(self.eng, t,
-                               loglh_epsilon=p.loglh_epsilon)
+                               loglh_epsilon=p.loglh_epsilon,
+                               constraint=self.constraint)
             self._save_tree(t, res.logL)
             self.cands.update(t, res.logL)
         self.log(f"Initial best logL: {self.cands.best_score():.4f}")
@@ -166,11 +170,13 @@ class TreeSearch:
             it += 1
             cand = self.cands.random_top(self.rng)
             t = cand.tree.copy()
-            if p.use_iqp:
+            if p.use_iqp and self.constraint is None:
                 iqp_perturb(t, self.aln, self.rng)
             else:
-                random_nnis(t, self.rng, p.pertub_strength)
-            res = nni_optimize(self.eng, t, loglh_epsilon=p.loglh_epsilon)
+                random_nnis(t, self.rng, p.pertub_strength,
+                            constraint=self.constraint)
+            res = nni_optimize(self.eng, t, loglh_epsilon=p.loglh_epsilon,
+                               constraint=self.constraint)
             self._save_tree(t, res.logL)
             improved = res.logL > self.cands.best_score() + p.loglh_epsilon
             self.cands.update(t, res.logL)

@@ -145,3 +145,29 @@ def test_asc_lewis_correction():
     t2 = tree.copy()
     logL_opt = asc_eng.optimize_branches(t2, n_rounds=6)
     assert logL_opt >= logL_asc - 1e-6
+
+
+def test_empirical_codon_models():
+    """KOSI07/SCHN05 empirical codon models (reference:
+    model/modelcodon.cpp:343-357, readCodonModel :699)."""
+    from iqtree2_tpu.model.subst import transition_matrix
+    aln = _codon_aln()
+    rng = np.random.default_rng(5)
+    tree = Tree.random_topology(aln.names, rng)
+    vals = {}
+    for name in ("KOSI07", "SCHN05", "ECMREST"):
+        m, r, _ = build_model(name, aln)
+        assert m.num_free_params() == 0
+        P = transition_matrix(m.get_eigensystem(), 0.2)
+        assert np.allclose(P.sum(1), 1.0, atol=1e-8)
+        assert (P >= -1e-10).all()
+        eng = LikelihoodEngine(aln, m, r, dtype=jnp.float64,
+                               pattern_pad=32)
+        vals[name] = eng.loglik_tree(tree)
+        assert np.isfinite(vals[name])
+    # the three matrices are genuinely different models
+    assert len({round(v, 3) for v in vals.values()}) == 3
+    # +F switches to counted frequencies
+    mf, rf, _ = build_model("KOSI07+F", aln)
+    engf = LikelihoodEngine(aln, mf, rf, dtype=jnp.float64, pattern_pad=32)
+    assert abs(engf.loglik_tree(tree) - vals["KOSI07"]) > 1e-3
