@@ -77,6 +77,12 @@ def run_analysis(params: Params) -> dict:
     import jax.numpy as jnp
     dtype = jnp.float64 if params.use_f64 else jnp.float32
 
+    if params.mdef_file:
+        from iqtree2_tpu.io.yamlmodels import load_definitions
+        dts, mds = load_definitions(params.mdef_file)
+        log(f"Loaded YAML definitions: datatypes {dts or '-'}, "
+            f"models {mds or '-'}")
+
     log(f"Reading alignment {params.aln_file} ...")
     aln = read_alignment(params.aln_file, seqtype=params.seqtype)
     log(f"Alignment: {aln.ntaxa} sequences, {aln.nsites} sites, "
@@ -85,6 +91,24 @@ def run_analysis(params: Params) -> dict:
     # ---------------- model setup / ModelFinder ---------------------------
     model_selection = None
     model_str = params.model
+    if model_str.upper() == "WHTEST":
+        # Weiss-von Haeseler model-homogeneity test (-m WHTEST;
+        # reference: main/phyloanalysis.cpp:2815 -> whtest/whtest.h:25)
+        import dataclasses as _dc
+        base = _dc.replace(params, model="GTR+G")
+        res = run_analysis(base)
+        from iqtree2_tpu.whtest import run_whtest
+        eng_w = LikelihoodEngine(aln, res["model"], res["rates"],
+                                 dtype=dtype)
+        wh = run_whtest(aln, res["tree"], eng_w, n_sim=100,
+                        seed=params.seed, log=log)
+        with open(f"{prefix}.whtest", "w") as f:
+            f.write(f"WH-test statistic: {wh['statistic']}\n"
+                    f"p-value: {wh['p_value']}\n"
+                    f"simulations: {wh.get('n_sim')}\n")
+        log(f"WH-test written to {prefix}.whtest")
+        log.close()
+        return {**res, "whtest": wh}
     if model_str.upper() in ("MFP", "TEST", "MF", "TESTONLY"):
         from iqtree2_tpu.modelfinder import run_modelfinder
         mf = run_modelfinder(aln, params, log=log, ckp=ckp)
@@ -333,6 +357,22 @@ def run_analysis(params: Params) -> dict:
                 f.write(f"{n:<12}" +
                         " ".join(f"{D[i, j]:.6f}"
                                  for j in range(aln.ntaxa)) + "\n")
+    # ---------------- time tree (--date) ----------------------------------
+    if params.date_file:
+        from iqtree2_tpu.timetree import (date_tree, parse_date_file,
+                                          timetree_newick)
+        dates = parse_date_file(Path(params.date_file).read_text(),
+                                aln.names)
+        log(f"Least-squares dating with {len(dates)} tip dates "
+            f"(LSD2 analog)...")
+        nd, rate, parent, tt, root = date_tree(tree, dates)
+        with open(f"{prefix}.timetree.nwk", "w") as f:
+            f.write(timetree_newick(tt, nd, parent, root) + "\n")
+        search_info["Clock rate (subst/site/time)"] = f"{rate:.6g}"
+        search_info["Root date"] = f"{nd[root]:.6g}"
+        log(f"Time tree -> {prefix}.timetree.nwk  rate {rate:.6g}  "
+            f"root date {nd[root]:.6g}")
+
     elapsed = time.time() - t_start
     report_io.write_iqtree_report(
         f"{prefix}.iqtree", params=params, aln=aln, model=model,

@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-blmax", dest="max_branch_length", type=float,
                    default=10.0)
     p.add_argument("-me", dest="model_eps", type=float, default=0.01)
+    p.add_argument("--mdef", dest="mdef_file", default="",
+                   help="YAML model/datatype definition file "
+                        "(phylo-yaml analog)")
+    p.add_argument("--date", dest="date_file", default="",
+                   help="tip-date file for least-squares dating "
+                        "(LSD2 analog, main/timetree.cpp)")
     p.add_argument("--pmsf", dest="pmsf", action="store_true",
                    help="posterior mean site frequency two-pass for "
                         "profile mixtures (reference: "
@@ -111,6 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--length", dest="sim_length", type=int, default=1000)
     p.add_argument("--num-alignments", dest="sim_num_alignments", type=int,
                    default=1)
+    p.add_argument("--indel", dest="indel", default="",
+                   help="insertion,deletion rates for AliSim (e.g. "
+                        "0.03,0.1; simulator/alisimulator.h:241)")
+    p.add_argument("--indel-size", dest="indel_size", type=float,
+                   default=3.0, help="mean geometric indel size")
     return p
 
 

@@ -214,6 +214,14 @@ def get_seqtype(name: str, **kw) -> SeqType:
     if name.startswith("CODON"):
         gid = int(name[5:]) if len(name) > 5 else kw.get("genetic_code", 1)
         return codon_type(gid)
+    # user-defined datatypes registered from --mdef YAML files
+    # (reference analog: phylo-yaml/statespace.h)
+    try:
+        from iqtree2_tpu.io.yamlmodels import DATATYPES
+        if name in DATATYPES:
+            return DATATYPES[name]
+    except ImportError:
+        pass
     raise ValueError(f"unknown sequence type {name}")
 
 

@@ -132,6 +132,13 @@ def build_model(spec_str: str, aln: Alignment) -> tuple[SubstModel, RateModel,
     if base_up in MIXTURE_NAMES or spec.other_terms:
         return _build_mixture_model(spec, aln, extras)
 
+    # user-defined YAML models (--mdef; phylo-yaml analog)
+    from iqtree2_tpu.io import yamlmodels
+    if base_up in yamlmodels.MODELS:
+        model = yamlmodels.make_yaml_model(base_up, aln)
+        rates = _build_rates(spec, extras)
+        return model, rates, extras
+
     # codon models
     if st.startswith("CODON") or base_up in ("GY", "MG", "MGK", "GY1KTS",
                                              "GY1KTV", "GY2K"):

@@ -65,10 +65,14 @@ class Params:
     verbose: int = 1
     write_site_lh: bool = False       # -wsl
     pmsf: bool = False                # --pmsf (two-pass site frequencies)
+    date_file: str = ""               # --date (tip dates for LSD dating)
+    mdef_file: str = ""               # --mdef (YAML model definitions)
     # simulation (AliSim)
     alisim: str = ""                  # --alisim output prefix
     sim_length: int = 1000
     sim_num_alignments: int = 1
+    indel: str = ""                   # --indel ins,del rates
+    indel_size: float = 3.0           # --indel-size mean (GEO)
 
     @property
     def prefix(self) -> str:

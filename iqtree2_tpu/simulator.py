@@ -10,8 +10,9 @@ states from P(t) per site; rate heterogeneity draws a per-site category
 Host-vectorized design: the site axis is fully vectorized (one [nsites]
 categorical draw per edge via inverse-CDF on cumulated P rows), so the cost
 is O(n_edges * nsites * S) numpy work — the reference's per-site loops are
-replaced by whole-array gathers. (Indel simulation, reference
-simulator/alisimulator.h:241-274, is not yet supported.)
+replaced by whole-array gathers. Indels (simulate_alignment_indel) and
+input mimicking (mimic_alignment) follow alisimulator.h:241-274 and the
+-s input-mimicking path.
 """
 
 from __future__ import annotations
@@ -101,6 +102,146 @@ def simulate_alignment(tree: Tree, model, rates, nsites: int,
     return seqs
 
 
+def simulate_alignment_indel(tree: Tree, model, rates, nsites: int,
+                             rng: np.random.Generator,
+                             ins_rate: float = 0.0, del_rate: float = 0.0,
+                             mean_indel_size: float = 3.0
+                             ) -> dict[str, str]:
+    """Simulation with insertions/deletions.
+
+    Reference analog: AliSimulator::handleInsertion/handleDeletion
+    (simulator/alisimulator.h:241-274) with GenomeTree tracking inserted
+    columns (tree/genometree.h:18). Events per branch are Poisson with
+    mean rate * t * (L+1) (insertions) / rate * t * L (deletions); sizes
+    are geometric with the given mean (the reference's default indel-size
+    distributions include GEO). Alignment columns are tracked through a
+    global position registry (float keys) so every lineage stays aligned
+    — the Python analog of GenomeTree.
+    """
+    eig = model.get_eigensystem()
+    freqs = np.asarray(model.freqs, np.float64)
+    S = model.num_states
+    cat_rates = np.asarray(rates.category_rates(), np.float64)
+    cat_w = np.asarray(rates.category_weights(), np.float64)
+    p_inv = float(getattr(rates, "p_invar", 0.0))
+
+    def draw_rates(n):
+        cat = rng.choice(len(cat_rates), size=n, p=cat_w / cat_w.sum())
+        r = cat_rates[cat]
+        if p_inv > 0:
+            r = np.where(rng.random(n) < p_inv, 0.0, r)
+        return r
+
+    def geom_size(n):
+        p = 1.0 / max(mean_indel_size, 1.0)
+        return rng.geometric(p, size=n)
+
+    # columns: global registry of (position key) -> column index;
+    # per-node sequences: dict column position -> state (absent = gap)
+    root = tree._default_root()
+    pos0 = np.arange(1, nsites + 1, dtype=np.float64)
+    root_states = rng.choice(S, size=nsites, p=freqs / freqs.sum())
+    root_rates = draw_rates(nsites)
+    all_positions: list[float] = list(pos0)
+
+    node_seq = {root: dict(zip(pos0, zip(root_states, root_rates)))}
+    pcache: dict[tuple[float, float], np.ndarray] = {}
+
+    def P_of(t, r):
+        key = (t, float(r))
+        if key not in pcache:
+            pcache[key] = np.maximum(transition_matrix(eig, t * r), 0.0)
+        return pcache[key]
+
+    for v, p in reversed(list(tree.postorder(root))):   # preorder
+        if p == -1:
+            continue
+        t = max(tree.get_blen(v, p), 0.0)
+        seq = dict(node_seq[p])
+        # substitutions (vectorized over present columns per unique rate)
+        keys = np.asarray(sorted(seq.keys()))
+        if keys.size:
+            st = np.asarray([seq[k][0] for k in keys])
+            rt = np.asarray([seq[k][1] for k in keys])
+            new = st.copy()
+            for r in np.unique(rt):
+                sel = rt == r
+                if r == 0.0:
+                    continue
+                rows = P_of(t, r)[st[sel]]
+                new[sel] = _categorical_rows(rows, rng)
+            for k, s_, r_ in zip(keys, new, rt):
+                seq[k] = (int(s_), float(r_))
+        # deletions
+        Lcur = len(seq)
+        n_del = rng.poisson(del_rate * t * max(Lcur, 1)) if del_rate > 0 \
+            else 0
+        for _ in range(n_del):
+            if not seq:
+                break
+            ks = sorted(seq.keys())
+            start = rng.integers(0, len(ks))
+            size = int(geom_size(1)[0])
+            for k in ks[start: start + size]:
+                del seq[k]
+        # insertions
+        Lcur = len(seq)
+        n_ins = rng.poisson(ins_rate * t * (Lcur + 1)) if ins_rate > 0 \
+            else 0
+        for _ in range(n_ins):
+            ks = sorted(seq.keys())
+            size = int(geom_size(1)[0])
+            if ks:
+                i = int(rng.integers(0, len(ks) + 1))
+                lo = ks[i - 1] if i > 0 else ks[0] - 1.0
+                hi = ks[i] if i < len(ks) else ks[-1] + 1.0
+            else:
+                lo, hi = 0.0, 1.0
+            newpos = np.linspace(lo, hi, size + 2)[1:-1]
+            newst = rng.choice(S, size=size, p=freqs / freqs.sum())
+            newrt = draw_rates(size)
+            for kpos, s_, r_ in zip(newpos, newst, newrt):
+                seq[float(kpos)] = (int(s_), float(r_))
+                all_positions.append(float(kpos))
+        node_seq[v] = seq
+
+    # assemble the alignment over the union of columns
+    cols = sorted(set(all_positions))
+    col_idx = {c: i for i, c in enumerate(cols)}
+    chars = model_state_chars(model)
+    out: dict[str, str] = {}
+    leaves = [v for v in node_seq if tree.is_leaf(v)]
+    if tree.is_leaf(root):
+        leaves.append(root)
+    for v in leaves:
+        row = ["-"] * len(cols)
+        for k, (s_, _r) in node_seq[v].items():
+            row[col_idx[k]] = chars[s_]
+        out[tree.taxon_names[v]] = "".join(row)
+    return out
+
+
+def mimic_alignment(aln, tree: Tree, model, rates,
+                    rng: np.random.Generator) -> dict[str, str]:
+    """Input-mimicking simulation (reference: --alisim with -s ALN,
+    simulator copies the input's length and gap pattern,
+    alisimulator.h input-mimicking path)."""
+    seqs = simulate_alignment(tree, model, rates, aln.nsites, rng)
+    # superimpose the input gap/unknown mask
+    codes = aln.tip_codes()          # [L, P]
+    unk = aln.seqtype.unknown_code
+    out = {}
+    for i, name in enumerate(aln.names):
+        if name not in seqs:
+            continue
+        sim = list(seqs[name])
+        pat = codes[i][aln.site_to_pattern]          # [nsites]
+        for s_idx in np.nonzero(pat == unk)[0]:
+            sim[s_idx] = "-"
+        out[name] = "".join(sim)
+    return out
+
+
 def model_state_chars(model) -> list[str]:
     S = model.num_states
     if S == 4:
@@ -154,13 +295,40 @@ def run_alisim(params) -> list[str]:
         tree.taxon_names, ["ACGT" * 2] * len(tree.taxon_names), seqtype=st)
     model, rates, _ = build_model(model_str, dummy)
 
+    mimic = None
+    if params.aln_file:
+        # input-mimicking mode: copy length + gap pattern of a real
+        # alignment (reference: --alisim ... -s aln)
+        from iqtree2_tpu.io.alignment_io import read_alignment
+        mimic = read_alignment(params.aln_file, seqtype=params.seqtype)
+
+    ins_rate = del_rate = 0.0
+    if params.indel:
+        parts = [float(x) for x in params.indel.split(",")]
+        ins_rate = parts[0]
+        del_rate = parts[1] if len(parts) > 1 else parts[0]
+
     outs = []
     for i in range(params.sim_num_alignments):
-        seqs = simulate_alignment(tree, model, rates, params.sim_length, rng)
+        if mimic is not None:
+            seqs = mimic_alignment(mimic, tree, model, rates, rng)
+        elif ins_rate > 0 or del_rate > 0:
+            seqs = simulate_alignment_indel(
+                tree, model, rates, params.sim_length, rng,
+                ins_rate=ins_rate, del_rate=del_rate,
+                mean_indel_size=params.indel_size)
+        else:
+            seqs = simulate_alignment(tree, model, rates,
+                                      params.sim_length, rng)
         suffix = f"_{i + 1}" if params.sim_num_alignments > 1 else ""
-        out = f"{params.alisim}{suffix}.phy"
-        write_phylip_seqs(out, seqs)
+        nsites_out = len(next(iter(seqs.values())))
+        if ins_rate > 0 or del_rate > 0:
+            out = f"{params.alisim}{suffix}.fa"
+            write_fasta(out, seqs)
+        else:
+            out = f"{params.alisim}{suffix}.phy"
+            write_phylip_seqs(out, seqs)
         outs.append(out)
         print(f"AliSim: wrote {out} ({len(seqs)} taxa x "
-              f"{params.sim_length} sites, model {model_str})")
+              f"{nsites_out} sites, model {model_str})")
     return outs

@@ -70,3 +70,153 @@ def test_greedy_pd_matches_bruteforce():
         best = max(pd_score(t, list(c))
                    for c in itertools.combinations(range(7), k))
         assert abs(pd - best) < 1e-9, (k, pd, best)
+
+
+def test_lsd_dating_recovers_clock():
+    """Exact clock tree: substitutions = rate * time; the WLS dating must
+    recover rate and node dates exactly (reference: lsd::buildTimeTree)."""
+    from iqtree2_tpu.timetree import date_tree, timetree_newick
+    rate = 0.02
+    # rooted truth: root(date 0) -> A(3) -> {t0(8), t1(6)};
+    #                           -> B(3) -> {t2(5), t3(9)}
+    names = ["t0", "t1", "t2", "t3"]
+    t = Tree(names)
+    A, B = t.new_node(), t.new_node()
+    t.add_edge(A, 0, 5 * rate)
+    t.add_edge(A, 1, 3 * rate)
+    t.add_edge(B, 2, 2 * rate)
+    t.add_edge(B, 3, 6 * rate)
+    t.add_edge(A, B, 6 * rate)       # true root at the exact middle
+    tip_dates = {0: 8.0, 1: 6.0, 2: 5.0, 3: 9.0}
+    dates, r, parent, tt, root = date_tree(t, tip_dates,
+                                           root_edge=(A, B))
+    assert abs(r - rate) / rate < 1e-8
+    assert abs(dates[root] - 0.0) < 1e-6
+    assert abs(dates[A] - 3.0) < 1e-6 and abs(dates[B] - 3.0) < 1e-6
+    nwk = timetree_newick(tt, dates, parent, root)
+    assert nwk.count("(") >= 2
+
+    # constraint handling: a negative-length edge gets collapsed, never
+    # a child older than its parent
+    t.set_blen(A, 0, 1e-4)           # t0 nearly at A's date
+    dates2, r2, parent2, _, root2 = date_tree(t, tip_dates,
+                                              root_edge=(A, B))
+    for v, p in parent2.items():
+        if p is not None:
+            assert dates2[v] >= dates2[p] - 1e-9
+
+
+def test_date_file_parse():
+    from iqtree2_tpu.timetree import parse_date_file
+    d = parse_date_file("3\nt0 2001.5\nt2 2010\n# c\nt1 1999\n",
+                        ["t0", "t1", "t2"])
+    assert d == {0: 2001.5, 2: 2010.0, 1: 1999.0}
+
+
+def test_yaml_models_and_datatypes(tmp_path):
+    """--mdef YAML definitions (phylo-yaml analog)."""
+    import jax.numpy as jnp
+    from iqtree2_tpu.io.yamlmodels import load_definitions, DATATYPES, \
+        MODELS
+    from iqtree2_tpu.model.factory import build_model
+    from iqtree2_tpu.engine import LikelihoodEngine
+    from iqtree2_tpu.data.alignment import Alignment
+
+    y = tmp_path / "defs.yml"
+    y.write_text("""
+- datatype: RY
+  state: [R, Y]
+  missing: "?-"
+- model: MYRY
+  datatype: RY
+  rates: [1.0]
+  frequencies: [0.6, 0.4]
+- model: MYUNREST
+  datatype: DNA
+  reversible: false
+  matrix: [[0, 1, 2, 1], [1, 0, 1, 2], [2, 1, 0, 1], [1, 2, 1, 0]]
+""")
+    dts, mds = load_definitions(str(y))
+    assert dts == ["RY"] and set(mds) == {"MYRY", "MYUNREST"}
+
+    aln = Alignment.from_sequences(
+        ["a", "b", "c", "d"],
+        ["RRYY?R", "RYYYRR", "YRYRRY", "RRYYRY"], seqtype="RY")
+    assert aln.num_states == 2
+    m, r, _ = build_model("MYRY+G2", aln)
+    eng = LikelihoodEngine(aln, m, r, dtype=jnp.float64, pattern_pad=8)
+    t = Tree.random_topology(aln.names, np.random.default_rng(0))
+    assert np.isfinite(eng.loglik_tree(t))
+
+    # nonreversible matrix model on DNA data
+    from tests.test_pallas2 import _setup
+    engd, td = _setup(5, npat=16, seed=3)
+    m2, r2, _ = build_model("MYUNREST", engd.aln)
+    assert not m2.is_reversible()
+    eng2 = LikelihoodEngine(engd.aln, m2, r2, dtype=jnp.float64,
+                            pattern_pad=16)
+    assert np.isfinite(eng2.loglik_tree(td))
+
+
+def test_terrace_detection_and_enumeration():
+    """A tree whose partitions never see taxa {4,5} together with enough
+    context lies on a terrace; full coverage does not
+    (reference: runterraceanalysis, terraphast)."""
+    from iqtree2_tpu.terrace import check_terrace, enumerate_terrace, \
+        induced_fingerprint
+    rng = np.random.default_rng(3)
+    names = [f"t{i}" for i in range(6)]
+    t = Tree.random_topology(names, rng)
+    # partition 1 sees taxa 0-3, partition 2 sees taxa 2-5
+    sets_terrace = [{0, 1, 2, 3}, {2, 3, 4, 5}]
+    full = [set(range(6)), set(range(6))]
+    assert not check_terrace(t, full)
+    assert enumerate_terrace(t, full, cap=50) == 1
+    # with partial coverage at least SOME random trees sit on terraces
+    found = 0
+    for seed in range(8):
+        tt = Tree.random_topology(names, np.random.default_rng(seed))
+        if check_terrace(tt, sets_terrace):
+            assert enumerate_terrace(tt, sets_terrace, cap=50) > 1
+            found += 1
+    assert found > 0
+
+
+def test_whtest_discriminates():
+    """WH-test (whtest/whtest.h): homogeneous data accepts, data generated
+    under two very different Q matrices rejects more strongly."""
+    import jax.numpy as jnp
+    from iqtree2_tpu.whtest import run_whtest, wh_statistic
+    from iqtree2_tpu.simulator import simulate_alignment
+    from iqtree2_tpu.data.alignment import Alignment
+    from iqtree2_tpu.model.dna import make_dna_model
+    from iqtree2_tpu.model.rates import RateModel
+    from iqtree2_tpu.engine import LikelihoodEngine
+
+    rng = np.random.default_rng(5)
+    names = [f"t{i}" for i in range(6)]
+    tree = Tree.random_topology(names, rng)
+    for (a, b) in list(tree.blen):
+        tree.set_blen(a, b, 0.3)
+    m_hom = make_dna_model("GTR", freqs=np.array([0.25] * 4),
+                           freq_type="user",
+                           rate_params=np.array([1.0, 3.0, 1.0, 1.0, 3.0]))
+    seqs = simulate_alignment(tree, m_hom, RateModel(), 2000, rng)
+    aln = Alignment.from_sequences(list(seqs.keys()), list(seqs.values()),
+                                   seqtype="DNA")
+    eng = LikelihoodEngine(aln, m_hom, RateModel(), dtype=jnp.float64)
+    res = run_whtest(aln, tree, eng, n_sim=20, seed=1)
+    assert res["p_value"] is not None and res["p_value"] > 0.04
+
+    # heterogeneous: half the sites under a very different model
+    m2 = make_dna_model("GTR", freqs=np.array([0.4, 0.1, 0.1, 0.4]),
+                        freq_type="user",
+                        rate_params=np.array([8.0, 0.2, 5.0, 0.1, 1.0]))
+    s1 = simulate_alignment(tree, m_hom, RateModel(), 1000, rng)
+    s2 = simulate_alignment(tree, m2, RateModel(), 1000, rng)
+    seqs_h = {k: s1[k] + s2[k] for k in s1}
+    aln_h = Alignment.from_sequences(list(seqs_h.keys()),
+                                     list(seqs_h.values()), seqtype="DNA")
+    stat_hom = wh_statistic(aln)
+    stat_het = wh_statistic(aln_h)
+    assert stat_het > stat_hom

@@ -87,3 +87,45 @@ def test_site_rate_posterior_orders_by_variability():
     const = aln.is_constant_pattern()
     if const.any() and (~const).any():
         assert mean_rate[const].mean() < mean_rate[~const].mean()
+
+
+def test_alisim_indels_and_mimic():
+    """AliSim indel simulation (alisimulator.h:241-274) + input
+    mimicking."""
+    import numpy as np
+    from iqtree2_tpu.simulator import (mimic_alignment,
+                                       simulate_alignment_indel)
+    from iqtree2_tpu.model.dna import make_dna_model
+    from iqtree2_tpu.model.rates import RateGamma
+    from iqtree2_tpu.tree.topology import Tree
+    from iqtree2_tpu.data.alignment import Alignment
+
+    rng = np.random.default_rng(7)
+    names = [f"t{i}" for i in range(6)]
+    tree = Tree.random_topology(names, rng)
+    for (a, b) in list(tree.blen):
+        tree.set_blen(a, b, 0.2)
+    m = make_dna_model("HKY", freqs=np.full(4, 0.25), freq_type="user")
+    r = RateGamma(4, alpha=1.0)
+    seqs = simulate_alignment_indel(tree, m, r, 200, rng,
+                                    ins_rate=0.05, del_rate=0.05)
+    lens = {len(s) for s in seqs.values()}
+    assert len(lens) == 1                      # aligned (gap-padded)
+    assert len(seqs) == 6
+    joined = "".join(seqs.values())
+    assert "-" in joined                       # indels happened
+    assert set(joined) <= set("ACGT-")
+
+    # mimicking copies the gap mask
+    src = Alignment.from_sequences(
+        names, ["ACGT-A" * 10, "A-GTAA" * 10, "ACG--A" * 10,
+                "ACGTAA" * 10, "--GTAA" * 10, "ACGTA-" * 10],
+        seqtype="DNA")
+    sim = mimic_alignment(src, tree, m, r, rng)
+    for i, n in enumerate(names):
+        orig = ("ACGT-A", "A-GTAA", "ACG--A", "ACGTAA", "--GTAA",
+                "ACGTA-")[i] * 10
+        got = sim[n]
+        assert len(got) == len(orig)
+        for a_, b_ in zip(orig, got):
+            assert (a_ == "-") == (b_ == "-")
