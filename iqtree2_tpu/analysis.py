@@ -283,6 +283,8 @@ def run_analysis(params: Params) -> dict:
 
     # ---------------- supports -------------------------------------------
     if ufboot is not None:
+        if params.bnni:
+            ufboot.refine_boot_trees(eng, log=log)
         support = ufboot.supports_for(tree)
         if params.tbe:
             # transfer bootstrap expectation over the replicate trees
@@ -345,6 +347,11 @@ def run_analysis(params: Params) -> dict:
                 p = aln.site_to_pattern[s]
                 f.write(f"{s + 1}\t{mean_rate[p]:.5f}\t"
                         f"{cat_best[p] + 1}\n")
+    if params.write_ml_rate:
+        from iqtree2_tpu.siterates import site_rates_ml, write_mlrate
+        mlr, _ = site_rates_ml(eng, tree)
+        write_mlrate(f"{prefix}.mlrate", aln, mlr)
+        log(f"Per-site ML rates written to {prefix}.mlrate")
     if params.do_asr:
         _write_asr(f"{prefix}.state", eng, tree, aln)
         log(f"Ancestral states written to {prefix}.state")

@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-abayes", dest="abayes", action="store_true")
     p.add_argument("-lbp", dest="lbp_replicates", type=int, default=0)
     p.add_argument("--runs", dest="num_runs", type=int, default=1)
+    p.add_argument("-bnni", dest="bnni", action="store_true",
+                   help="refine UFBoot replicate trees by NNI under "
+                        "resampled weights (refineBootTrees)")
+    p.add_argument("--mlrate", dest="write_ml_rate", action="store_true",
+                   help="per-site ML rates (RateMeyerHaeseler analog, "
+                        ".mlrate)")
     p.add_argument("--tbe", dest="tbe", action="store_true",
                    help="transfer bootstrap expectation supports "
                         "(booster/booster.h)")

@@ -274,6 +274,18 @@ class LikelihoodEngine:
         tipP = pruning.tip_partials(jnp.asarray(self.tip_codes), tip_table)
         self._dev_tipP = tipP
 
+    def with_pattern_weights(self, weights: np.ndarray
+                             ) -> "LikelihoodEngine":
+        """Shallow view of this engine with different pattern weights
+        (bootstrap-replicate refinement; shares device model arrays)."""
+        import copy
+        view = copy.copy(self)
+        w = np.zeros(self.Pp)
+        w[: len(weights)] = weights
+        view.pattern_weights = w
+        view._dev_pw = jnp.asarray(w, self.dtype)
+        return view
+
     # ------------------------------------------------------------- schedule
     def _v2_enabled(self) -> bool:
         import os

@@ -44,7 +44,32 @@ def fitch_combine(a: np.ndarray, b: np.ndarray):
 
 def fitch_score(tree: Tree, masks: np.ndarray,
                 weights: np.ndarray) -> float:
-    """Weighted Fitch parsimony score of a topology."""
+    """Weighted Fitch parsimony score of a topology.
+
+    Uses the native bit-parallel kernel (native/iqtree2_native.cpp
+    it2_fitch_score; reference analog tree/phylotreepars.cpp:32) when
+    available; multifurcations are binarized into combine chains."""
+    from iqtree2_tpu import native
+    if native.available():
+        root = tree._default_root()
+        L = tree.ntaxa
+        rows: list[tuple[int, int]] = []
+        idx: dict[int, int] = {}
+        for v, p in tree.postorder(root):
+            if tree.is_leaf(v):
+                idx[v] = v
+                continue
+            kids = [idx[u] for u in tree.adj[v] if u != p]
+            acc = kids[0]
+            for u in kids[1:]:
+                rows.append((acc, u))
+                acc = L + len(rows) - 1
+            idx[v] = acc
+        if rows:
+            out = native.fitch_score(
+                masks, weights, np.asarray(rows, dtype=np.int32))
+            if out is not None:
+                return out
     root = tree._default_root()
     P = masks.shape[1]
     cost = np.zeros(P, dtype=np.float64)

@@ -39,6 +39,8 @@ class Params:
     lbp_replicates: int = 0           # -lbp
     num_runs: int = 1                 # --runs
     tbe: bool = False                 # --tbe (transfer bootstrap)
+    bnni: bool = False                # -bnni (refine UFBoot trees)
+    write_ml_rate: bool = False       # --mlrate (per-site ML rates)
     symtest: bool = False             # --symtest
     # numerics
     min_branch_length: float = 1e-6   # -blmin

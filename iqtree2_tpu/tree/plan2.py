@@ -124,6 +124,20 @@ def build_stream_plan(sched: TreeSchedule, S: int, C: int,
     child_src = sched.child_src          # [n_int, 2] unified (tip<L)
     child_edge = sched.child_edge
 
+    # native planner (native/iqtree2_native.cpp it2_plan_stream) covers
+    # phases 1+2 with identical tie-breaking; fall back to Python below
+    from iqtree2_tpu import native as _native
+    nat = _native.plan_stream(child_src, L, G)
+    if nat is not None:
+        step_of_n, slot_of_n, src_blk_n, dst_blk_n, dst_slot_n, \
+            n_steps_real, ring_raw = nat
+        return _assemble_plan(
+            sched, L, n_int, S, C, CS, CSP, G, R, TS,
+            step_of_n.astype(np.int64), slot_of_n.astype(np.int64),
+            src_blk_n.astype(np.int64), dst_blk_n.astype(np.int64),
+            dst_slot_n.astype(np.int64), n_steps_real,
+            _round_up(max(int(ring_raw), 2), 4))
+
     # --- phase 1: greedy step schedule, postorder(DFS)-priority ----------
     n_children_left = np.zeros(n_int, dtype=np.int64)
     parents = np.full(n_int, -1, dtype=np.int64)     # postorder idx parent
@@ -217,7 +231,31 @@ def build_stream_plan(sched: TreeSchedule, S: int, C: int,
     ring_blocks = _round_up(max(next_blk, 2), 4)
 
     # --- phase 3: flat arrays --------------------------------------------
+    src_blk_flat = np.zeros((n_steps_real, 2), dtype=np.int64)
+    src_blk_flat[:, :] = blk_of
+    dst_blk_arr = np.full(n_int, -2, dtype=np.int64)
+    dst_slot_arr = np.full(n_int, -1, dtype=np.int64)
+    for i in range(n_int):
+        p = parents[i]
+        if p >= 0:
+            dst_blk_arr[i] = blk_of[step_of[p], parent_side[i]]
+            dst_slot_arr[i] = slot_of[p]
+    return _assemble_plan(sched, L, n_int, S, C, CS, CSP, G, R, TS,
+                          step_of, slot_of, src_blk_flat, dst_blk_arr,
+                          dst_slot_arr, n_steps_real, ring_blocks)
+
+
+def _assemble_plan(sched, L, n_int, S, C, CS, CSP, G, R, TS,
+                   step_of, slot_of, blk_of_steps, dst_blk_arr,
+                   dst_slot_arr, n_steps_real, ring_blocks) -> StreamPlan:
+    """Phase 3: flat bucketed arrays from the schedule + block assignment
+    (shared by the Python and native planners)."""
+    child_src = sched.child_src
+    child_edge = sched.child_edge
+    n_steps = _round_up(n_steps_real, 8)
+
     src_blk = np.zeros((n_steps, 2), dtype=np.int32)
+    src_blk[:n_steps_real] = blk_of_steps[:n_steps_real]
     edge = np.zeros((n_steps, G, 2), dtype=np.int32)
     is_int = np.zeros((n_steps, G, 2), dtype=np.int32)
     tip = np.full((n_steps, G, 2), L, dtype=np.int32)
@@ -225,31 +263,26 @@ def build_stream_plan(sched: TreeSchedule, S: int, C: int,
     dst_sc = np.full((n_steps, G), -1, dtype=np.int32)
     valid = np.zeros((n_steps, G), dtype=np.int32)
     node_of = np.full((n_steps, G), n_int, dtype=np.int32)
-    node_step = np.zeros(n_int, dtype=np.int32)
-    node_slot = np.zeros(n_int, dtype=np.int32)
+    node_step = np.asarray(step_of, dtype=np.int32).copy()
+    node_slot = np.asarray(slot_of, dtype=np.int32).copy()
 
-    for s, nodes in enumerate(steps):
-        src_blk[s, 0] = blk_of[s, 0]
-        src_blk[s, 1] = blk_of[s, 1]
-        for g, i in enumerate(nodes):
-            valid[s, g] = 1
-            node_of[s, g] = i
-            node_step[i] = s
-            node_slot[i] = g
-            for k in range(2):
-                cs_ = child_src[i, k]
-                edge[s, g, k] = child_edge[i, k]
-                if cs_ >= L:
-                    is_int[s, g, k] = 1
-                else:
-                    tip[s, g, k] = cs_
-            p = parents[i]
-            if p < 0:
-                dst_row[s, g] = -2     # root
+    for i in range(n_int):
+        s, g = int(step_of[i]), int(slot_of[i])
+        valid[s, g] = 1
+        node_of[s, g] = i
+        for k in range(2):
+            cs_ = child_src[i, k]
+            edge[s, g, k] = child_edge[i, k]
+            if cs_ >= L:
+                is_int[s, g, k] = 1
             else:
-                b = blk_of[step_of[p], parent_side[i]]
-                dst_row[s, g] = b * R + slot_of[p] * CSP
-                dst_sc[s, g] = b * G + slot_of[p]
+                tip[s, g, k] = cs_
+        if dst_blk_arr[i] == -2:
+            dst_row[s, g] = -2     # root
+        else:
+            b = int(dst_blk_arr[i])
+            dst_row[s, g] = b * R + int(dst_slot_arr[i]) * CSP
+            dst_sc[s, g] = b * G + int(dst_slot_arr[i])
 
     return StreamPlan(
         L=L, n_int=n_int, S=S, C=C, CS=CS, CSP=CSP, G=G, R=R, TS=TS,

@@ -129,3 +129,33 @@ def test_alisim_indels_and_mimic():
         assert len(got) == len(orig)
         for a_, b_ in zip(orig, got):
             assert (a_ == "-") == (b_ == "-")
+
+
+def test_ufboot_refinement_and_ml_site_rates():
+    """-bnni refinement (refineBootTrees) + RateMeyerHaeseler ML rates."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tests.test_pallas2 import _setup
+    from iqtree2_tpu.engine import LikelihoodEngine
+    from iqtree2_tpu.search.ufboot import UFBoot
+    from iqtree2_tpu.siterates import site_rates_ml
+
+    eng32, tree = _setup(8, npat=64, seed=14)
+    eng = LikelihoodEngine(eng32.aln, eng32.model, eng32.rates,
+                           dtype=jnp.float64)
+    uf = UFBoot(eng.aln, n_replicates=10, seed=3)
+    # seed champions with a deliberately unoptimized tree
+    _, lp = eng.site_lp(tree)
+    uf.add_tree(tree, lp, tree_logL=float((lp * eng.aln.pattern_weights
+                                           ).sum()))
+    before = uf.boot_logl.copy()
+    n_improved = uf.refine_boot_trees(eng)
+    assert n_improved > 0
+    assert (uf.boot_logl >= before - 1e-9).all()
+
+    rates, lp_best = site_rates_ml(eng, tree, n_grid=17)
+    assert rates.shape == (eng.aln.num_patterns,)
+    assert (rates > 0).all() and np.isfinite(lp_best).all()
+    # ML-rate per-site lp must dominate the rate-1 lp
+    _, lp1 = eng.site_lp(tree)
+    assert (lp_best >= lp1 - 1e-6).all()
