@@ -189,6 +189,7 @@ def main():
     # 1000-taxon secondary config
     eng2, tree2 = make_problem(ntaxa=1000, npat=NPAT, seed=777)
     sec_1000, logL_1000, _, _ = time_loglik(eng2, tree2, n_evals=16)
+    opt1000_wall, opt1000_logL = time_blen_opt(eng2, tree2, n_rounds=10)
 
     baseline = None
     if BASELINE_FILE.exists():
@@ -225,6 +226,8 @@ def main():
             "blen_opt_logL": opt_logL,
             "sec_per_logL_1000taxa": round(sec_1000, 6),
             "logL_1000taxa": logL_1000,
+            "blen_opt_1000taxa_wall_s": round(opt1000_wall, 3),
+            "blen_opt_1000taxa_logL": opt1000_logL,
             "vs_baseline_64core_est": round(vs64, 3) if vs64 else None,
             "baseline_task": "fixed-topology branch-length optimization "
                              "wall vs reference binary on this host",

@@ -56,8 +56,7 @@ def _optimize_blens_jit(blens, tipP, sched, pack, pattern_weights,
     def one_round(carry, _):
         blens, logL_prev = carry
         P = pruning.transition_tensors(blens.astype(dtype), pack)
-        dp = pruning.down_pass(P, tipP, sched)
-        up = pruning.up_pass(P, dp, tipP, sched, pack["root_freqs"])
+        dp, up = pruning.both_passes(P, tipP, sched, pack)
         th = pruning.edge_thetas(up, dp, sched["edge_src"], pack)
         newton = jax.vmap(
             lambda t_e, th_e, sc_e: pruning.newton_branch_step(
@@ -108,8 +107,7 @@ def _optimize_blens_nonrev_jit(blens, tipP, sched, pack, pattern_weights,
     def one_round(carry, _):
         blens, logL_prev = carry
         P = pruning.transition_tensors(blens.astype(dtype), pack)
-        dp = pruning.down_pass(P, tipP, sched)
-        up = pruning.up_pass(P, dp, tipP, sched, pack["root_freqs"])
+        dp, up = pruning.both_passes(P, tipP, sched, pack)
         down, down_sc = pruning.edge_down_partials(dp, sched["edge_src"])
         scale = up.edge_E_scale + down_sc
         newton = jax.vmap(
@@ -157,8 +155,7 @@ def _passes_jit(blens, tipP, sched, pack, pattern_weights):
     """Down+up passes (for NNI eval / thetas)."""
     dtype = tipP.dtype
     P = pruning.transition_tensors(blens.astype(dtype), pack)
-    dp = pruning.down_pass(P, tipP, sched)
-    up = pruning.up_pass(P, dp, tipP, sched, pack["root_freqs"])
+    dp, up = pruning.both_passes(P, tipP, sched, pack)
     n_int = sched["child_src"].shape[0]
     Broot, SCroot = pruning.root_partial(dp, P, tipP, n_int)
     logL, _ = pruning.root_loglik(Broot, SCroot,
@@ -182,8 +179,7 @@ def _asr_jit(blens, tipP, sched, pack, pattern_weights):
     """
     dtype = tipP.dtype
     P = pruning.transition_tensors(blens.astype(dtype), pack)
-    dp = pruning.down_pass(P, tipP, sched)
-    up = pruning.up_pass(P, dp, tipP, sched, pack["root_freqs"])
+    dp, up = pruning.both_passes(P, tipP, sched, pack)
     L = tipP.shape[0]
     n_int = sched["child_src"].shape[0]
     w = pack["cat_weight"]
@@ -303,7 +299,11 @@ class LikelihoodEngine:
         d = {k: jnp.asarray(v) for k, v in
              sched.to_device_arrays().items()}
         if self._v2_enabled():
-            from iqtree2_tpu.tree.plan2 import build_stream_plan, pick_tile
+            from iqtree2_tpu.tree.plan2 import (build_stream_plan,
+                                                edge_maps, pick_tile,
+                                                pick_tile_export,
+                                                pick_tile_up,
+                                                up_scalar_arrays)
             C = int(self.pack_np.cat_rate.shape[0])
             plan = build_stream_plan(sched, S=self.aln.num_states, C=C)
             pt = pick_tile(plan, self.Pp)
@@ -316,6 +316,27 @@ class LikelihoodEngine:
                     p2_int=jnp.asarray(plan.is_int),
                     p2_tip=jnp.asarray(plan.tip),
                     p2_cfg=jnp.zeros((plan.ring_blocks, pt), jnp.int8))
+                ptu = pick_tile_up(plan, self.Pp)
+                pte = pick_tile_export(plan, self.Pp)
+                if ptu is not None and pte is not None:
+                    ms_u, sl_u = up_scalar_arrays(plan)
+                    (e_step, e_side, e_slot, d_istip, d_tip, d_step,
+                     d_slot) = edge_maps(plan, sched)
+                    d.update(
+                        p2u_meta_step=jnp.asarray(ms_u),
+                        p2u_meta_slot=jnp.asarray(sl_u),
+                        p2u_cfg=jnp.zeros((plan.up_ring_blocks, ptu),
+                                          jnp.int8),
+                        p2e_cfg=jnp.zeros((1, pte), jnp.int8),
+                        p2_node_step=jnp.asarray(plan.node_step),
+                        p2_node_slot=jnp.asarray(plan.node_slot),
+                        p2_e_step=jnp.asarray(e_step),
+                        p2_e_side=jnp.asarray(e_side),
+                        p2_e_slot=jnp.asarray(e_slot),
+                        p2u_root_step=jnp.asarray(
+                            int(plan.node_step[sched.n_int - 1])),
+                        p2u_root_slot=jnp.asarray(
+                            int(plan.node_slot[sched.n_int - 1])))
         return d
 
     # ------------------------------------------------------------ main API

@@ -76,8 +76,7 @@ def _optimize_mixlen_jit(blens2, tipP, sched, pack, pattern_weights,
     def one_round(carry, _):
         b2, logL_prev = carry
         P = pruning.transition_tensors(b2.astype(dtype), pack)
-        dp = pruning.down_pass(P, tipP, sched)
-        up = pruning.up_pass(P, dp, tipP, sched, pack["root_freqs"])
+        dp, up = pruning.both_passes(P, tipP, sched, pack)
         th = pruning.edge_thetas(up, dp, sched["edge_src"], pack)
         newton = jax.vmap(
             lambda tv, th_e, sc_e: pruning.newton_branch_step_mixlen(

@@ -123,8 +123,9 @@ def _make_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int,
                tipA, tipB, opA, opB, topA, topB, pres0, wf, tip0, loginv,
                *rest):
         if export:
-            lp_out, part_out, sc_out = rest[0], rest[1], rest[2]
-            ring, scr, broot, scroot = rest[3:]
+            (lp_out, part_out, sc_out, rhsA_out, rhsB_out, scA_out,
+             scB_out) = rest[:7]
+            ring, scr, broot, scroot = rest[7:]
         else:
             lp_out = rest[0]
             ring, broot, acc = rest[1:]
@@ -165,12 +166,14 @@ def _make_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int,
             # one contiguous [G*8, pt] read per side covers all G slots.
             rA = scr[pl.ds(pl.multiple_of(blkA * (G * 8), 8), G * 8), :]
             rB = scr[pl.ds(pl.multiple_of(blkB * (G * 8), 8), G * 8), :]
-            scs = []
+            scs, scAs, scBs = [], [], []
             for g in range(G):
                 scA = jnp.where(sl_ref[s, g, 0] > 0, rA[g * 8],
                                 jnp.zeros((pt,), jnp.float32))
                 scB = jnp.where(sl_ref[s, g, 1] > 0, rB[g * 8],
                                 jnp.zeros((pt,), jnp.float32))
+                scAs.append(scA)
+                scBs.append(scB)
                 scs.append(scA + scB + need[g])
         else:
             # root-total accumulator: masked sum of this step's rescales
@@ -202,6 +205,11 @@ def _make_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int,
         if export:
             part_out[0] = prod.reshape(R, pt)
             sc_out[0] = jnp.stack(scs)
+            # RHS blocks + child scale rows feed the streaming up pass
+            rhsA_out[0] = ra
+            rhsB_out[0] = rb
+            scA_out[0] = jnp.stack(scAs)
+            scB_out[0] = jnp.stack(scBs)
 
         @pl.when(s == n_steps - 1)
         def _():
@@ -262,9 +270,17 @@ def stream_pass(meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB,
         out_shape += [
             jax.ShapeDtypeStruct((n_steps, R, Pp), jnp.float32),
             jax.ShapeDtypeStruct((n_steps, G, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, R, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, R, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, G, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, G, Pp), jnp.float32),
         ]
         out_specs += [
             pl.BlockSpec((1, R, pt), im_tile_last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, pt), im_tile_last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, pt), im_tile_last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, pt), im_tile_last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, pt), im_tile_last, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, pt), im_tile_last, memory_space=pltpu.VMEM),
         ]
 
@@ -295,8 +311,8 @@ def stream_pass(meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB,
     )(meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB, pres0,
       wf_pad, tip0, log_inv)
     if export:
-        lp, parts, scs = out
-        return lp[0], parts, scs
+        lp, parts, scs, rhsA, rhsB, scA, scB = out
+        return lp[0], parts, scs, rhsA, rhsB, scA, scB
     return out[0]
 
 
@@ -325,3 +341,270 @@ def sitelp_v2(P, tipP, plan_arrays, wf, log_inv, CSP: int,
                        topA, topB, pres0, wf_pad, tip0, log_inv[None, :],
                        CSP=CSP, ring_blocks=ring_blocks, pt=pt,
                        export=export, interpret=interpret)
+
+
+# -------------------------------------------------------- streaming up pass
+def _make_up_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int):
+    """Reverse sweep computing per-edge outside partials E and per-node
+    outside partials UP, with the live UP values in a VMEM ring.
+
+    For the nodes of down-step s (all slots at once):
+      msgX = opX[s] @ rhsX[s] + topX[s] @ tipX[s]   (same as the down pass)
+      E(edge to child A) = UP(node) * msgB ; E(B) = UP(node) * msgA
+      UP(child X)       = opX[s]^T @ E(X)      (block-diagonal transpose)
+    Reference analog: the pre-order outside sweep of
+    pruning._up_pass_xla / tree/phylokernelnew.h's theta precomputation.
+    """
+    def kernel(ms_ref, sl_ref,
+               rhsA, rhsB, scA_in, scB_in, opA, opB, topA, topB,
+               tipA, tipB, pres0, rf, tip0, rdown, rdsc,
+               E_out, Esc_out, up_out, upsc_out,
+               upring, upscr):
+        i = pl.program_id(0)
+        s_rev = pl.program_id(1)
+        s = n_steps - 1 - s_rev
+
+        @pl.when((i == 0) & (s_rev == 0))
+        def _():
+            upring[...] = jnp.zeros_like(upring)
+            upscr[...] = jnp.zeros_like(upscr)
+
+        @pl.when(s_rev == 0)
+        def _():
+            # root: UP = root_freqs * message(leaf 0); sc = 0
+            m0 = jnp.dot(pres0[...], tip0[...], precision=HI,
+                         preferred_element_type=jnp.float32)
+            root_row = ms_ref[0, 1]
+            upring[pl.ds(pl.multiple_of(root_row, 8), CSP), :] = \
+                rf[...] * m0
+            upscr[pl.ds(pl.multiple_of(ms_ref[0, 2] * 8, 8), 8), :] = \
+                jnp.zeros((8, pt), jnp.float32)
+
+        blk = ms_ref[s, 0]
+        upv = upring[pl.ds(pl.multiple_of(blk * R, R), R), :]
+        upsc_rows = upscr[pl.ds(pl.multiple_of(blk * (G * 8), 8),
+                                G * 8), :]
+        msgA = jnp.dot(opA[0], rhsA[0], precision=HI,
+                       preferred_element_type=jnp.float32) \
+            + jnp.dot(topA[0], tipA[0], precision=HI,
+                      preferred_element_type=jnp.float32)
+        msgB = jnp.dot(opB[0], rhsB[0], precision=HI,
+                       preferred_element_type=jnp.float32) \
+            + jnp.dot(topB[0], tipB[0], precision=HI,
+                      preferred_element_type=jnp.float32)
+        EA = (upv * msgB).reshape(G, CSP, pt)
+        EB = (upv * msgA).reshape(G, CSP, pt)
+        mxA = jnp.max(EA, axis=1)
+        mxB = jnp.max(EB, axis=1)
+        needA = (mxA < _THRESH).astype(jnp.float32)
+        needB = (mxB < _THRESH).astype(jnp.float32)
+        EA = EA * jnp.where(needA > 0.5, _RESCALE, 1.0)[:, None, :]
+        EB = EB * jnp.where(needB > 0.5, _RESCALE, 1.0)[:, None, :]
+        scEA, scEB, upscs = [], [], []
+        for g in range(G):
+            us = upsc_rows[g * 8]
+            upscs.append(us)
+            scEA.append(us + scB_in[0, g] + needA[g])
+            scEB.append(us + scA_in[0, g] + needB[g])
+        E_out[0, 0] = EA.reshape(R, pt)
+        E_out[0, 1] = EB.reshape(R, pt)
+        Esc_out[0, 0] = jnp.stack(scEA)
+        Esc_out[0, 1] = jnp.stack(scEB)
+        up_out[0] = upv
+        upsc_out[0] = jnp.stack(upscs)
+
+        upA = jnp.dot(opA[0].T, EA.reshape(R, pt), precision=HI,
+                      preferred_element_type=jnp.float32)
+        upB = jnp.dot(opB[0].T, EB.reshape(R, pt), precision=HI,
+                      preferred_element_type=jnp.float32)
+        upA3 = upA.reshape(G, CSP, pt)
+        upB3 = upB.reshape(G, CSP, pt)
+        mxA2 = jnp.max(upA3, axis=1)
+        mxB2 = jnp.max(upB3, axis=1)
+        nA2 = (mxA2 < _THRESH).astype(jnp.float32)
+        nB2 = (mxB2 < _THRESH).astype(jnp.float32)
+        upA3 = upA3 * jnp.where(nA2 > 0.5, _RESCALE, 1.0)[:, None, :]
+        upB3 = upB3 * jnp.where(nB2 > 0.5, _RESCALE, 1.0)[:, None, :]
+
+        for g in range(G):
+            for k, (upc, scE, nd2) in enumerate(
+                    ((upA3, scEA, nA2), (upB3, scEB, nB2))):
+                dst = sl_ref[s, g, k]
+
+                @pl.when(dst >= 0)
+                def _(g=g, k=k, upc=upc, scE=scE, nd2=nd2, dst=dst):
+                    upring[pl.ds(pl.multiple_of(dst, 8), CSP), :] = upc[g]
+                    upscr[pl.ds(pl.multiple_of(
+                        sl_ref[s, g, 2 + k] * 8, 8), 8), :] = \
+                        jnp.broadcast_to((scE[g] + nd2[g])[None, :],
+                                         (8, pt))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("CSP", "up_ring_blocks",
+                                             "pt", "interpret"))
+def stream_up_pass(ms_up, sl_up, rhsA, rhsB, scA, scB,
+                   opA, opB, topA, topB, tipA, tipB, pres0, rf_pad,
+                   tip0, root_down, root_dsc,
+                   CSP: int, up_ring_blocks: int, pt: int,
+                   interpret: bool = False):
+    """Streaming outside-partial sweep over the down-pass exports.
+
+    Returns (E [n_steps, 2, R, Pp], Esc [n_steps, 2, G, Pp],
+             UP [n_steps, R, Pp], UPsc [n_steps, G, Pp]); edge 0 (the
+    folded root-leaf edge) is handled by the caller in XLA.
+    """
+    n_steps, G, _ = sl_up.shape
+    R = G * CSP
+    TSP = tipA.shape[1]
+    SP = tip0.shape[0]
+    Pp = tipA.shape[2]
+    n_tiles = Pp // pt
+
+    def rev3(i, s_rev, *_):
+        return (n_steps - 1 - s_rev, 0, 0)
+
+    def rev_tile(i, s_rev, *_):
+        return (n_steps - 1 - s_rev, 0, i)
+
+    in_specs = [
+        pl.BlockSpec((1, R, pt), rev_tile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, pt), rev_tile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, pt), rev_tile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, pt), rev_tile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, R), rev3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, R), rev3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, TSP), rev3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, TSP), rev3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TSP, pt), rev_tile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TSP, pt), rev_tile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((CSP, SP), lambda i, s, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((CSP, 1), lambda i, s, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((SP, pt), lambda i, s, *_: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((CSP, pt), lambda i, s, *_: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, pt), lambda i, s, *_: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = (
+        jax.ShapeDtypeStruct((n_steps, 2, R, Pp), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, 2, G, Pp), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, R, Pp), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, G, Pp), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, 2, R, pt),
+                     lambda i, s, *_: (n_steps - 1 - s, 0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, G, pt),
+                     lambda i, s, *_: (n_steps - 1 - s, 0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, pt),
+                     lambda i, s, *_: (n_steps - 1 - s, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, pt),
+                     lambda i, s, *_: (n_steps - 1 - s, 0, i),
+                     memory_space=pltpu.VMEM),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, n_steps),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((up_ring_blocks * R, pt), jnp.float32),
+            pltpu.VMEM((up_ring_blocks * G * 8, pt), jnp.float32),
+        ],
+    )
+    E, Esc, UP, UPsc = pl.pallas_call(
+        _make_up_kernel(G, CSP, R, n_steps, pt),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(ms_up, sl_up, rhsA, rhsB, scA, scB, opA, opB, topA, topB,
+      tipA, tipB, pres0, rf_pad, tip0, root_down, root_dsc)
+    return E, Esc, UP, UPsc
+
+
+def passes_v2(P, tipP, pa, root_freqs, CSP: int, ring_blocks: int,
+              up_ring_blocks: int, pt: int, ptu: int,
+              interpret: bool = False):
+    """Full streaming down + up sweep; returns the standard unified
+    buffers consumed by thetas / NNI / ASR:
+
+      (DownPass(all [L+n_int, C, S, Pp], scale), UpPass(edge_E, edge_sc,
+       up_in, up_sc))
+
+    pa: dict of device plan arrays (p2_* and p2u_* keys from
+    engine.schedule_arrays). The reassembly gathers are plain XLA takes
+    over the kernel exports — bandwidth-bound but traversal-free.
+    """
+    from iqtree2_tpu.ops import pruning as _pr
+
+    meta_step = pa["p2_meta_step"]
+    meta_slot = pa["p2_meta_slot"]
+    edge, is_int, tip = pa["p2_edge"], pa["p2_int"], pa["p2_tip"]
+    L, S, Pp = tipP.shape
+    C = P.shape[1]
+    CS = C * S
+    n_steps, G, _ = edge.shape
+    R = G * CSP
+    TSP = _round_up(G * S, 8)
+
+    opA, opB, topA, topB, pres0 = build_ops(P, edge, is_int, tip, L, CSP)
+    tipA, tipB, tip0 = build_tip_streams(tipP, tip, TSP)
+    wf_dummy = jnp.zeros((CSP, 1), jnp.float32)
+    log_inv0 = jnp.full((1, Pp), -jnp.inf, jnp.float32)
+    lp, parts, scs, rhsA, rhsB, scA, scB = stream_pass(
+        meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB, pres0,
+        wf_dummy, tip0, log_inv0, CSP=CSP, ring_blocks=ring_blocks,
+        pt=pt, export=True, interpret=interpret)
+
+    node_step = pa["p2_node_step"]
+    node_slot = pa["p2_node_slot"]
+    n_int = node_step.shape[0]
+    parts4 = parts.reshape(n_steps, G, CSP, Pp)
+    all_int = parts4[node_step, node_slot, :CS].reshape(n_int, C, S, Pp)
+    sc_int = scs[node_step, node_slot]
+    tips_b = jnp.broadcast_to(tipP[:, None], (L, C, S, Pp))
+    ALL = jnp.concatenate([tips_b.astype(jnp.float32), all_int], axis=0)
+    SC = jnp.concatenate([jnp.zeros((L, Pp), jnp.int32),
+                          sc_int.astype(jnp.int32)], axis=0)
+    dp = _pr.DownPass(ALL, SC)
+
+    # root's down partial + scale feed the up kernel's init and edge 0
+    rstep, rslot = pa["p2u_root_step"], pa["p2u_root_slot"]
+    root_down = parts4[rstep, rslot]                    # [CSP, Pp]
+    root_dsc = scs[rstep, rslot][None, :]               # [1, Pp]
+    rf = jnp.pad(root_freqs.reshape(CS), (0, CSP - CS))[:, None]
+
+    E, Esc, UPx, UPsc = stream_up_pass(
+        pa["p2u_meta_step"], pa["p2u_meta_slot"], rhsA, rhsB, scA, scB,
+        opA, opB, topA, topB, tipA, tipB, pres0, rf, tip0,
+        root_down, root_dsc, CSP=CSP, up_ring_blocks=up_ring_blocks,
+        pt=ptu, interpret=interpret)
+
+    # per-edge outside partials
+    e_step, e_side, e_slot = (pa["p2_e_step"], pa["p2_e_side"],
+                              pa["p2_e_slot"])
+    E5 = E.reshape(n_steps, 2, G, CSP, Pp)
+    eE = E5[jnp.maximum(e_step, 0), e_side, e_slot, :CS].reshape(
+        -1, C, S, Pp)
+    eSC = Esc[jnp.maximum(e_step, 0), e_side, e_slot]
+    # edge 0: outside = root_freqs * root down partial
+    e0 = (rf[:CS, :] * root_down[:CS]).reshape(C, S, Pp)
+    eE = eE.at[0].set(e0)
+    eSC = eSC.at[0].set(root_dsc[0])
+
+    up_in = UPx.reshape(n_steps, G, CSP, Pp)[
+        node_step, node_slot, :CS].reshape(n_int, C, S, Pp)
+    up_sc = UPsc[node_step, node_slot]
+    up = _pr.UpPass(eE, eSC.astype(jnp.int32), up_in,
+                    up_sc.astype(jnp.int32))
+    return dp, up

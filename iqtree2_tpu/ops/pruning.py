@@ -366,6 +366,38 @@ def tree_loglik(blens, tipP, sched, pack, pattern_weights,
                        asc_nsites=pack.get("asc_nsites"))
 
 
+def both_passes(P, tipP, sched, pack):
+    """(DownPass, UpPass) with the fastest applicable backend:
+    v1 whole-tree-in-VMEM Pallas (small trees), v2 streaming Pallas
+    (any size; needs the p2u_* plan arrays), or the XLA scans."""
+    C = P.shape[1]
+    use_v1 = False
+    if _pallas_env_ok(tipP, C):
+        from iqtree2_tpu.ops import pallas_pruning
+        S = tipP.shape[1]
+        n_int = sched["child_src"].shape[0]
+        use_v1 = (pallas_pruning.pick_pattern_tile_export(
+            tipP.shape[2], tipP.shape[0], n_int, C * S, S,
+            sched["edge_src"].shape[0]) is not None and
+            pallas_pruning.pick_pattern_tile_up(
+                tipP.shape[2], tipP.shape[0], n_int, C * S, S,
+                sched["edge_src"].shape[0]) is not None)
+    if not use_v1 and "p2u_cfg" in sched and _v2_env_ok(tipP):
+        from iqtree2_tpu.ops import pallas_pruning2 as pp2
+        from iqtree2_tpu.tree import plan2
+        ring_blocks = sched["p2_cfg"].shape[0]
+        pte = sched["p2e_cfg"].shape[1]
+        up_ring_blocks, ptu = sched["p2u_cfg"].shape
+        CSP = plan2.slot_pitch(C * tipP.shape[1])
+        return pp2.passes_v2(P, tipP, sched, pack["root_freqs"],
+                             CSP=CSP, ring_blocks=ring_blocks,
+                             up_ring_blocks=up_ring_blocks, pt=pte,
+                             ptu=ptu)
+    dp = down_pass(P, tipP, sched)
+    up = up_pass(P, dp, tipP, sched, pack["root_freqs"])
+    return dp, up
+
+
 # ------------------------------------------------------------------ up pass
 class UpPass(NamedTuple):
     edge_E: jax.Array        # [E, C, S, Ppat] outside partial per edge

@@ -79,6 +79,15 @@ class StreamPlan:
     # [n_int] int32: (step, slot) of each postorder node — export addressing
     node_step: np.ndarray
     node_slot: np.ndarray
+    # ---- up-pass (outside partials) extension; filled by plan_up() ----
+    # [n_steps] int32 ring block holding UP values of this step's nodes
+    up_blk: np.ndarray | None = None
+    up_ring_blocks: int = 0
+    # [n_steps, G, 2] int32 up-ring ROW where side-k child's UP goes
+    # (-1 = tip child / padding)
+    up_dst_row: np.ndarray | None = None
+    # [n_steps, G, 2] int32 up sc sidecar slot index (-1 = none)
+    up_dst_sc: np.ndarray | None = None
 
     @property
     def export_rows(self) -> int:
@@ -292,6 +301,114 @@ def _assemble_plan(sched, L, n_int, S, C, CS, CSP, G, R, TS,
         node_step=node_step, node_slot=node_slot)
 
 
+def plan_up(plan: StreamPlan) -> StreamPlan:
+    """Fill the up-pass fields: UP-ring block per step (interval coloring
+    in REVERSE time — a step's UP block is written by its nodes' parents,
+    which run earlier in the up sweep) and per-(step, slot, side) child
+    UP destination rows. Mirrors the down-pass phase-2 logic."""
+    if plan.up_blk is not None:
+        return plan
+    n_real = plan.n_steps_real
+    n_steps = plan.n_steps
+    G, R, CSP = plan.G, plan.R, plan.CSP
+    L = plan.L
+
+    def ut(s):   # up-time of down-step s
+        return n_real - 1 - s
+
+    # first writer (in up-time) of each step's UP block = the smallest
+    # up-time among its nodes' parents; the root's block is written at
+    # up-time 0 (kernel init). Parent of an internal child is recovered
+    # from the edge ids (internal child edge id = L + child postorder).
+    first_w = np.full(n_real, -1, dtype=np.int64)
+    parents = np.full(plan.n_int, -1, dtype=np.int64)
+    for s in range(n_real):
+        for g in range(G):
+            if not plan.valid[s, g]:
+                continue
+            for k in range(2):
+                if plan.is_int[s, g, k]:
+                    child = int(plan.edge[s, g, k]) - L
+                    parents[child] = plan.node_of[s, g]
+    for i in range(plan.n_int):
+        p = parents[i]
+        s = int(plan.node_step[i])
+        w = 0 if p < 0 else ut(int(plan.node_step[p]))
+        if first_w[s] < 0 or w < first_w[s]:
+            first_w[s] = w
+
+    intervals = []
+    for s in range(n_real):
+        if first_w[s] >= 0:
+            intervals.append((int(first_w[s]), ut(s), s))
+    intervals.sort()
+    import heapq as hq
+    blk = np.zeros(n_steps, dtype=np.int32)
+    free: list[int] = []
+    active: list[tuple[int, int]] = []
+    next_blk = 1
+    for start, end, s in intervals:
+        while active and active[0][0] <= start:
+            free.append(hq.heappop(active)[1])
+        b = free.pop() if free else next_blk
+        if b == next_blk:
+            next_blk += 1
+        blk[s] = b
+        hq.heappush(active, (end, b))
+    up_ring_blocks = _round_up(max(next_blk, 2), 4)
+
+    up_dst_row = np.full((n_steps, G, 2), -1, dtype=np.int32)
+    up_dst_sc = np.full((n_steps, G, 2), -1, dtype=np.int32)
+    for s in range(n_real):
+        for g in range(G):
+            if not plan.valid[s, g]:
+                continue
+            for k in range(2):
+                if plan.is_int[s, g, k]:
+                    child = int(plan.edge[s, g, k]) - L
+                    cs = int(plan.node_step[child])
+                    cg = int(plan.node_slot[child])
+                    up_dst_row[s, g, k] = blk[cs] * R + cg * CSP
+                    up_dst_sc[s, g, k] = blk[cs] * G + cg
+
+    plan.up_blk = blk
+    plan.up_ring_blocks = up_ring_blocks
+    plan.up_dst_row = up_dst_row
+    plan.up_dst_sc = up_dst_sc
+    return plan
+
+
+def up_scalar_arrays(plan: StreamPlan):
+    """(meta_step_up [n_steps, 4], meta_slot_up [n_steps, G, 8]) int32:
+    per-step up-ring block + root bookkeeping, per-slot UP destinations.
+
+    meta_step_up: [up_blk, root_flag?, root_row, 0]
+    meta_slot_up: [updstA_row, updstB_row, updstA_sc, updstB_sc,
+                   valid, is_intA, is_intB, 0]"""
+    plan = plan_up(plan)
+    n_steps, G = plan.n_steps, plan.G
+    ms = np.zeros((n_steps, 4), dtype=np.int32)
+    ms[:, 0] = plan.up_blk
+    # root row in the up ring
+    root_i = None
+    for i in range(plan.n_int):
+        s, g = int(plan.node_step[i]), int(plan.node_slot[i])
+        if plan.dst_row[s, g] == -2:
+            root_i = i
+    rs, rg = int(plan.node_step[root_i]), int(plan.node_slot[root_i])
+    ms[:, 1] = plan.up_blk[rs] * plan.R + rg * plan.CSP
+    ms[:, 2] = plan.up_blk[rs] * plan.G + rg
+    sl = np.zeros((n_steps, G, 8), dtype=np.int32)
+    sl[:, :, 0] = plan.up_dst_row[:, :, 0]
+    sl[:, :, 1] = plan.up_dst_row[:, :, 1]
+    sl[:, :, 2] = plan.up_dst_sc[:, :, 0]
+    sl[:, :, 3] = plan.up_dst_sc[:, :, 1]
+    sl[:, :, 4] = plan.valid
+    sl[:, :, 5] = plan.is_int[:, :, 0]
+    sl[:, :, 6] = plan.is_int[:, :, 1]
+    return ms, sl
+
+
 def plan_vmem_bytes(plan: StreamPlan, pt: int, export: bool) -> int:
     """Estimated VMEM bytes for the kernel at pattern tile pt."""
     ring = plan.ring_blocks * plan.R * pt * 4
@@ -315,5 +432,75 @@ def pick_tile(plan: StreamPlan, Pp: int,
         if Pp % pt != 0:
             continue
         if plan_vmem_bytes(plan, pt, export) <= budget:
+            return pt
+    return None
+
+
+def edge_maps(plan: StreamPlan, sched: TreeSchedule):
+    """Host maps from edge ids into the streaming exports.
+
+    Returns int32 arrays:
+      e_step/e_side/e_slot [n_edges]: where edge e's outside partial E
+        lives in the up-kernel export (edge 0 = root-leaf fold -> -1);
+      d_istip/d_tip/d_step/d_slot [n_edges]: where edge e's child-side
+        (down) partial lives (tip id, or node export (step, slot))."""
+    n_edges = sched.n_edges
+    L = plan.L
+    e_step = np.full(n_edges, -1, dtype=np.int32)
+    e_side = np.zeros(n_edges, dtype=np.int32)
+    e_slot = np.zeros(n_edges, dtype=np.int32)
+    for s in range(plan.n_steps_real):
+        for g in range(plan.G):
+            if not plan.valid[s, g]:
+                continue
+            for k in range(2):
+                e = int(plan.edge[s, g, k])
+                e_step[e] = s
+                e_side[e] = k
+                e_slot[e] = g
+    d_istip = np.zeros(n_edges, dtype=np.int32)
+    d_tip = np.zeros(n_edges, dtype=np.int32)
+    d_step = np.zeros(n_edges, dtype=np.int32)
+    d_slot = np.zeros(n_edges, dtype=np.int32)
+    for e in range(n_edges):
+        src = int(sched.edge_src[e])
+        if src < L:
+            d_istip[e] = 1
+            d_tip[e] = src
+        else:
+            i = src - L
+            d_step[e] = int(plan.node_step[i])
+            d_slot[e] = int(plan.node_slot[i])
+    return (e_step, e_side, e_slot, d_istip, d_tip, d_step, d_slot)
+
+
+def pick_tile_up(plan: StreamPlan, Pp: int,
+                 budget: int = 13 * 1024 * 1024) -> int | None:
+    """Pattern tile for the streaming up kernel."""
+    plan_up(plan)
+    for pt in (1024, 512, 256, 128):
+        if Pp % pt != 0:
+            continue
+        ring = plan.up_ring_blocks * plan.R * pt * 4
+        sc = plan.up_ring_blocks * plan.G * 8 * pt * 4
+        ins = 2 * ((2 * plan.R + 2 * plan.G + 2 * plan.TS) * pt * 4
+                   + 2 * plan.R * plan.R * 4
+                   + 2 * plan.R * plan.TS * 4
+                   + (plan.S + plan.CSP + 1) * pt * 4)
+        outs = 2 * (3 * plan.R + 3 * plan.G) * pt * 4
+        if ring + sc + ins + outs <= budget:
+            return pt
+    return None
+
+
+def pick_tile_export(plan: StreamPlan, Pp: int,
+                     budget: int = 13 * 1024 * 1024) -> int | None:
+    """Pattern tile for the down kernel in export mode (extra outputs)."""
+    for pt in (1024, 512, 256, 128):
+        if Pp % pt != 0:
+            continue
+        base = plan_vmem_bytes(plan, pt, export=True)
+        extra = 2 * (2 * plan.R + 2 * plan.G) * pt * 4
+        if base + extra <= budget:
             return pt
     return None

@@ -89,7 +89,7 @@ def test_export_v2_matches_down_pass():
               p2_edge=jnp.asarray(plan.edge), p2_int=jnp.asarray(plan.is_int),
               p2_tip=jnp.asarray(plan.tip))
     wf = (pack["cat_weight"][:, None] * pack["root_freqs"]).reshape(-1)
-    lp2, parts, scs = pp2.sitelp_v2(
+    lp2, parts, scs, rhsA, rhsB, scA, scB = pp2.sitelp_v2(
         P, tipP, pa, wf, pack["log_ptn_invar"], CSP=slot_pitch(C * S),
         ring_blocks=plan.ring_blocks, pt=pt, export=True, interpret=True)
     parts = np.asarray(parts)   # [n_steps, R, Pp]
@@ -105,3 +105,70 @@ def test_export_v2_matches_down_pass():
         np.testing.assert_allclose(got, ref_all[L + i], rtol=2e-5,
                                    atol=1e-30)
         np.testing.assert_allclose(scs[s_, g_], ref_sc[L + i], atol=0)
+
+
+def test_passes_v2_matches_xla():
+    """Full streaming down+up (export + up kernels + reassembly) must
+    reproduce the XLA DownPass/UpPass buffers (interpret mode)."""
+    from iqtree2_tpu.tree.plan2 import (build_stream_plan, edge_maps,
+                                        pick_tile_export, pick_tile_up,
+                                        up_scalar_arrays)
+    eng, tree = _setup(20, npat=128, seed=9)
+    sched = build_schedule(tree)
+    sa = eng.schedule_arrays(sched)
+    blens = jnp.asarray(sched.blens, jnp.float32)
+    pack = eng._dev_pack
+    tipP = eng._dev_tipP
+
+    P = pruning.transition_tensors(blens, pack)
+    dp_ref = pruning._down_pass_xla(P, tipP, sa)
+    up_ref = pruning._up_pass_xla(P, dp_ref, tipP, sa,
+                                  pack["root_freqs"])
+
+    C = int(pack["cat_rate"].shape[0])
+    S = tipP.shape[1]
+    plan = build_stream_plan(sched, S=S, C=C)
+    pte = pick_tile_export(plan, eng.Pp)
+    ptu = pick_tile_up(plan, eng.Pp)
+    assert pte and ptu
+    ms, sl = plan.scalar_arrays()
+    ms_u, sl_u = up_scalar_arrays(plan)
+    e_step, e_side, e_slot, *_ = edge_maps(plan, sched)
+    pa = dict(p2_meta_step=jnp.asarray(ms), p2_meta_slot=jnp.asarray(sl),
+              p2_edge=jnp.asarray(plan.edge),
+              p2_int=jnp.asarray(plan.is_int),
+              p2_tip=jnp.asarray(plan.tip),
+              p2u_meta_step=jnp.asarray(ms_u),
+              p2u_meta_slot=jnp.asarray(sl_u),
+              p2_node_step=jnp.asarray(plan.node_step),
+              p2_node_slot=jnp.asarray(plan.node_slot),
+              p2_e_step=jnp.asarray(e_step),
+              p2_e_side=jnp.asarray(e_side),
+              p2_e_slot=jnp.asarray(e_slot),
+              p2u_root_step=jnp.asarray(int(plan.node_step[sched.n_int - 1])),
+              p2u_root_slot=jnp.asarray(int(plan.node_slot[sched.n_int - 1])))
+    from iqtree2_tpu.tree.plan2 import slot_pitch
+    dp2, up2 = pp2.passes_v2(P, tipP, pa, pack["root_freqs"],
+                             CSP=slot_pitch(C * S),
+                             ring_blocks=plan.ring_blocks,
+                             up_ring_blocks=plan.up_ring_blocks,
+                             pt=pte, ptu=ptu, interpret=True)
+
+    # effective values (partial * 2^{30 sc}) must agree even if rescale
+    # event counts differ between backends
+    def eff(vals, sc, ax):
+        return np.asarray(vals) * np.exp2(
+            30.0 * np.asarray(sc, np.float64))[..., None, None, :].squeeze(ax)
+
+    np.testing.assert_allclose(
+        np.asarray(dp2.all) * np.exp2(30.0 * np.asarray(dp2.scale))[:, None, None, :],
+        np.asarray(dp_ref.all) * np.exp2(30.0 * np.asarray(dp_ref.scale))[:, None, None, :],
+        rtol=3e-5, atol=1e-30)
+    np.testing.assert_allclose(
+        np.asarray(up2.edge_E) * np.exp2(30.0 * np.asarray(up2.edge_E_scale))[:, None, None, :],
+        np.asarray(up_ref.edge_E) * np.exp2(30.0 * np.asarray(up_ref.edge_E_scale))[:, None, None, :],
+        rtol=3e-5, atol=1e-30)
+    np.testing.assert_allclose(
+        np.asarray(up2.up_in) * np.exp2(30.0 * np.asarray(up2.up_scale))[:, None, None, :],
+        np.asarray(up_ref.up_in) * np.exp2(30.0 * np.asarray(up_ref.up_scale))[:, None, None, :],
+        rtol=3e-5, atol=1e-30)
