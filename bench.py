@@ -22,6 +22,7 @@ The reference binary here runs on 2 cores; BASELINE.md's formal target is
 cores (64/ncores) as the stated normalization.
 """
 
+import functools
 import json
 import os
 import subprocess
@@ -73,7 +74,7 @@ def make_problem(ntaxa=NTAXA, npat=NPAT, seed=12345):
     return eng, tree
 
 
-def time_loglik(eng, tree, n_evals=20, chain=64):
+def time_loglik(eng, tree, n_evals=20, chain=256):
     """Steady-state sec per full-tree logL.
 
     Measured IN-PROGRAM (a fori_loop of `chain` dependent evaluations per
@@ -93,20 +94,31 @@ def time_loglik(eng, tree, n_evals=20, chain=64):
     sa = eng.schedule_arrays(sched)
     blens = jnp.asarray(sched.blens, eng.dtype)
 
+    # device buffers ride as ARGUMENTS (closure-captured arrays would be
+    # embedded as constants in the compile payload — hundreds of MB)
     @jax.jit
-    def step(b):
-        logL, _ = pruning.tree_loglik(b, eng._dev_tipP, sa,
-                                      eng._dev_pack, eng._dev_pw)
+    def _step(b, tipP, sa_, pack, pw):
+        logL, _ = pruning.tree_loglik(b, tipP, sa_, pack, pw)
         return logL
 
-    @jax.jit
-    def chained(b):
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def _chained(b, tipP, sa_, pack, pw, n):
+        # each iteration's branch lengths are perturbed by the ITERATION
+        # INDEX (guaranteed to change in f32 — a logL-scaled perturbation
+        # can round to exactly 1.0 and let XLA hoist the body out of the
+        # loop), and every logL feeds the result so nothing is dead code
         def body(i, acc):
-            logL, _ = pruning.tree_loglik(
-                b * (1.0 + 1e-7 * acc), eng._dev_tipP, sa,
-                eng._dev_pack, eng._dev_pw)
-            return acc + logL * jnp.float32(1e-12)
-        return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
+            scale = 1.0 + 1e-6 * (i.astype(jnp.float32) + 1.0)
+            logL, _ = pruning.tree_loglik(b * scale, tipP, sa_, pack, pw)
+            return acc + logL
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def step(b):
+        return _step(b, eng._dev_tipP, sa, eng._dev_pack, eng._dev_pw)
+
+    def chained(b):
+        return _chained(b, eng._dev_tipP, sa, eng._dev_pack,
+                        eng._dev_pw, chain)
 
     bl_list = [blens * jnp.float32(1.0 + 1e-6 * i) for i in range(n_evals)]
     jax.block_until_ready(bl_list)
@@ -115,19 +127,30 @@ def time_loglik(eng, tree, n_evals=20, chain=64):
     t0 = time.perf_counter()
     for b in bl_list:
         out = step(b)
-    out.block_until_ready()
+        out.block_until_ready()
     per_dispatch = (time.perf_counter() - t0) / n_evals
 
-    # min over repetitions filters out per-call host/tunnel latency spikes
-    acc = chained(blens)
-    acc.block_until_ready()
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        acc = chained(blens)
-        acc.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / chain)
-    return best, float(step(blens)), sched, per_dispatch
+    # steady-state: one long in-program chain amortizes the per-dispatch
+    # tunnel overhead; min over repetitions. The tunnel's completion
+    # signaling is unreliable at sub-ms scales, so a result faster than
+    # a physically plausible floor falls back to the per-dispatch wall.
+    def timed(n):
+        f = _chained(blens, eng._dev_tipP, sa, eng._dev_pack,
+                     eng._dev_pw, n)
+        f.block_until_ready()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = _chained(blens, eng._dev_tipP, sa, eng._dev_pack,
+                         eng._dev_pw, n)
+            r.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_eval = timed(chain) / chain
+    if per_eval < 2e-5:   # implausible: tunnel signaled completion early
+        per_eval = per_dispatch
+    return per_eval, float(step(blens)), sched, per_dispatch
 
 
 def time_blen_opt(eng, tree, n_rounds=10):
@@ -188,7 +211,8 @@ def main():
 
     # 1000-taxon secondary config
     eng2, tree2 = make_problem(ntaxa=1000, npat=NPAT, seed=777)
-    sec_1000, logL_1000, _, _ = time_loglik(eng2, tree2, n_evals=16)
+    sec_1000, logL_1000, _, _ = time_loglik(eng2, tree2, n_evals=8,
+                                            chain=64)
     opt1000_wall, opt1000_logL = time_blen_opt(eng2, tree2, n_rounds=10)
 
     baseline = None

@@ -296,6 +296,7 @@ def run_analysis(params: Params) -> dict:
                        tbe_supports(tree, reps, aln.names).items()}
         contree = ufboot.consensus_tree()
         report_io.write_treefile(f"{prefix}.contree", contree)
+        ufboot.write_splits_nex(f"{prefix}.splits.nex")
         # .ufboot replicate trees
         with open(f"{prefix}.ufboot", "w") as f:
             for tid in ufboot.boot_trees:

@@ -316,6 +316,14 @@ class LikelihoodEngine:
                     p2_int=jnp.asarray(plan.is_int),
                     p2_tip=jnp.asarray(plan.tip),
                     p2_cfg=jnp.zeros((plan.ring_blocks, pt), jnp.int8))
+                # per-topology raw tip streams, gathered ONCE here instead
+                # of per evaluation inside the jitted kernels
+                from iqtree2_tpu.ops.pallas_pruning2 import \
+                    build_tip_streams
+                tsp = _round_up(plan.G * self.aln.num_states, 8)
+                tipA, tipB, tip0 = build_tip_streams(
+                    self._dev_tipP, jnp.asarray(plan.tip), tsp)
+                d.update(p2_tipA=tipA, p2_tipB=tipB, p2_tip0=tip0)
                 ptu = pick_tile_up(plan, self.Pp)
                 pte = pick_tile_export(plan, self.Pp)
                 if ptu is not None and pte is not None:

@@ -335,7 +335,12 @@ def sitelp_v2(P, tipP, plan_arrays, wf, log_inv, CSP: int,
     G = edge.shape[1]
     TSP = _round_up(G * tipP.shape[1], 8)
     opA, opB, topA, topB, pres0 = build_ops(P, edge, is_int, tip, L, CSP)
-    tipA, tipB, tip0 = build_tip_streams(tipP, tip, TSP)
+    if "p2_tipA" in plan_arrays:
+        tipA, tipB, tip0 = (plan_arrays["p2_tipA"],
+                            plan_arrays["p2_tipB"],
+                            plan_arrays["p2_tip0"])
+    else:
+        tipA, tipB, tip0 = build_tip_streams(tipP, tip, TSP)
     wf_pad = jnp.pad(wf, (0, CSP - wf.shape[0]))[:, None]
     return stream_pass(meta_step, meta_slot, tipA, tipB, opA, opB,
                        topA, topB, pres0, wf_pad, tip0, log_inv[None, :],
@@ -558,7 +563,10 @@ def passes_v2(P, tipP, pa, root_freqs, CSP: int, ring_blocks: int,
     TSP = _round_up(G * S, 8)
 
     opA, opB, topA, topB, pres0 = build_ops(P, edge, is_int, tip, L, CSP)
-    tipA, tipB, tip0 = build_tip_streams(tipP, tip, TSP)
+    if "p2_tipA" in pa:
+        tipA, tipB, tip0 = pa["p2_tipA"], pa["p2_tipB"], pa["p2_tip0"]
+    else:
+        tipA, tipB, tip0 = build_tip_streams(tipP, tip, TSP)
     wf_dummy = jnp.zeros((CSP, 1), jnp.float32)
     log_inv0 = jnp.full((1, Pp), -jnp.inf, jnp.float32)
     lp, parts, scs, rhsA, rhsB, scA, scB = stream_pass(

@@ -87,6 +87,37 @@ def fitch_score(tree: Tree, masks: np.ndarray,
     return float((cost * weights).sum())
 
 
+def sankoff_score(tree: Tree, codes: np.ndarray, weights: np.ndarray,
+                  cost: np.ndarray, tip_table: np.ndarray) -> float:
+    """Weighted Sankoff parsimony with an arbitrary state-change cost
+    matrix (reference: the Sankoff kernel, tree/phylotreepars.cpp:636).
+
+    codes: [L, P] tip codes; cost: [S, S]; tip_table: [ncodes, S]
+    indicator rows (ambiguity = 0-cost for every compatible state).
+    Vectorized over patterns: S_v(x, p) = sum_children min_y (c(x,y) +
+    S_u(y, p)).
+    """
+    S = cost.shape[0]
+    BIG = 1e30
+    # tip state costs: 0 for compatible states, BIG otherwise
+    tip_cost = np.where(tip_table > 0, 0.0, BIG)      # [ncodes, S]
+    root = tree._default_root()
+    dp: dict[int, np.ndarray] = {}
+    for v, p in tree.postorder(root):
+        if tree.is_leaf(v):
+            dp[v] = tip_cost[codes[v]].T              # [S, P]
+            continue
+        acc = None
+        for u in tree.adj[v]:
+            if u == p:
+                continue
+            # min over child state y of cost[x, y] + dp[u][y]
+            m = (cost[:, :, None] + dp[u][None, :, :]).min(axis=1)
+            acc = m if acc is None else acc + m
+        dp[v] = acc
+    return float((dp[root].min(axis=0) * weights).sum())
+
+
 def random_stepwise_addition(aln: Alignment, rng: np.random.Generator,
                              subsample: int | None = None,
                              constraint=None) -> Tree:

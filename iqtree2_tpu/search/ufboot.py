@@ -186,6 +186,28 @@ class UFBoot:
             out[Tree._key(a, b)] = 100.0 * sup.get(s, 0.0)
         return out
 
+    def write_splits_nex(self, path: str) -> None:
+        """.splits.nex: UFBoot split supports as a NEXUS SPLITS block
+        (reference output surface: printOutfilesInfo,
+        main/phyloanalysis.cpp:889; pda/splitgraph.h SplitGraph::saveNexus).
+        """
+        sup = self._split_supports(list(range(self.n_replicates)))
+        names = self.aln.names
+        with open(path, "w") as f:
+            f.write("#nexus\n\nBEGIN Taxa;\n"
+                    f"DIMENSIONS ntax={len(names)};\nTAXLABELS\n")
+            for i, n in enumerate(names):
+                f.write(f"[{i + 1}] '{n}'\n")
+            f.write(";\nEND; [Taxa]\n\nBEGIN Splits;\n"
+                    f"DIMENSIONS ntax={len(names)} nsplits={len(sup)};\n"
+                    "FORMAT labels=no weights=yes confidences=no "
+                    "intervals=no;\nMATRIX\n")
+            for s, freq in sorted(sup.items(),
+                                  key=lambda kv: -kv[1]):
+                ids = " ".join(str(x + 1) for x in sorted(s))
+                f.write(f"\t{100.0 * freq:.1f}\t{ids},\n")
+            f.write(";\nEND; [Splits]\n")
+
     def consensus_tree(self, min_freq: float = 0.5) -> Tree:
         """Majority-rule consensus of replicate trees (reference analog:
         .contree via summarizeBootstrap)."""

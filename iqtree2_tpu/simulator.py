@@ -295,6 +295,30 @@ def run_alisim(params) -> list[str]:
         tree.taxon_names, ["ACGT" * 2] * len(tree.taxon_names), seqtype=st)
     model, rates, _ = build_model(model_str, dummy)
 
+    if params.partition_file:
+        # partitioned simulation: one model per partition, concatenated
+        # columns (reference: AliSim partition mode, main/alisim.cpp)
+        from iqtree2_tpu.data.superalignment import read_partition_spec
+        sa = read_partition_spec(params.partition_file, params.aln_file,
+                                 params.seqtype)
+        outs = []
+        for i in range(params.sim_num_alignments):
+            seqs_all = {n: [] for n in tree.taxon_names}
+            for part, mstr in zip(sa.partitions, sa.part_models):
+                m_p, r_p, _ = build_model(mstr or model_str, part)
+                s_p = simulate_alignment(tree, m_p, r_p, part.nsites, rng)
+                for n in tree.taxon_names:
+                    seqs_all[n].append(s_p[n])
+            seqs = {n: "".join(v) for n, v in seqs_all.items()}
+            suffix = f"_{i + 1}" if params.sim_num_alignments > 1 else ""
+            out = f"{params.alisim}{suffix}.phy"
+            write_phylip_seqs(out, seqs)
+            outs.append(out)
+            print(f"AliSim: wrote {out} ({len(seqs)} taxa x "
+                  f"{len(next(iter(seqs.values())))} sites, "
+                  f"{sa.n_partitions} partitions)")
+        return outs
+
     mimic = None
     if params.aln_file:
         # input-mimicking mode: copy length + gap pattern of a real

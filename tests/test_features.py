@@ -159,3 +159,29 @@ def test_ufboot_refinement_and_ml_site_rates():
     # ML-rate per-site lp must dominate the rate-1 lp
     _, lp1 = eng.site_lp(tree)
     assert (lp_best >= lp1 - 1e-6).all()
+
+
+def test_sankoff_parsimony():
+    """Sankoff with unit costs must equal Fitch; asymmetric costs differ
+    (reference: tree/phylotreepars.cpp:636)."""
+    import numpy as np
+    from tests.test_pallas2 import _setup
+    from iqtree2_tpu.ops import pars
+    from iqtree2_tpu.tree.topology import Tree
+
+    eng, tree = _setup(8, npat=48, seed=21)
+    aln = eng.aln
+    masks = pars.state_bitmasks(aln)
+    w = aln.pattern_weights
+    fitch = pars.fitch_score(tree, masks, w)
+    S = 4
+    unit = np.ones((S, S)) - np.eye(S)
+    sank = pars.sankoff_score(tree, aln.tip_codes(), w, unit,
+                              aln.seqtype.tip_table)
+    assert abs(sank - fitch) < 1e-9
+    # transversion-weighted costs change the score
+    cost = unit.copy()
+    cost[0, 2] = cost[2, 0] = cost[1, 3] = cost[3, 1] = 0.5   # ts cheap
+    sank2 = pars.sankoff_score(tree, aln.tip_codes(), w, cost,
+                               aln.seqtype.tip_table)
+    assert sank2 < sank
