@@ -103,12 +103,15 @@ def time_loglik(eng, tree, n_evals=20, chain=256):
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def _chained(b, tipP, sa_, pack, pw, n):
-        # each iteration's branch lengths are perturbed by the ITERATION
+        # Each iteration's branch lengths are perturbed by the ITERATION
         # INDEX (guaranteed to change in f32 — a logL-scaled perturbation
-        # can round to exactly 1.0 and let XLA hoist the body out of the
-        # loop), and every logL feeds the result so nothing is dead code
+        # can round to exactly 1.0f and let XLA hoist the body out of the
+        # loop) PLUS a vanishing true data dependency on the running sum,
+        # which serializes the evaluations at runtime (matching how the
+        # optimizers consume the kernel) without changing the values.
         def body(i, acc):
-            scale = 1.0 + 1e-6 * (i.astype(jnp.float32) + 1.0)
+            scale = (1.0 + 1e-6 * (i.astype(jnp.float32) + 1.0)
+                     + acc * jnp.float32(1e-30))
             logL, _ = pruning.tree_loglik(b * scale, tipP, sa_, pack, pw)
             return acc + logL
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
