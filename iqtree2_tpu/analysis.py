@@ -109,7 +109,8 @@ def run_analysis(params: Params) -> dict:
         log(f"WH-test written to {prefix}.whtest")
         log.close()
         return {**res, "whtest": wh}
-    if model_str.upper() in ("MFP", "TEST", "MF", "TESTONLY"):
+    if model_str.upper() in ("MFP", "TEST", "MF", "TESTONLY",
+                         "AUTO"):
         from iqtree2_tpu.modelfinder import run_modelfinder
         mf = run_modelfinder(aln, params, log=log, ckp=ckp)
         model_selection = mf

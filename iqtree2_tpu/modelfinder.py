@@ -132,6 +132,37 @@ def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
             ckp.dump()
         return entry
 
+    if mode.upper() == "AUTO":
+        # -m AUTO ordering (reference: main/phylotesting.cpp:1347-1360):
+        # all rate schemes on the FIRST base model pick the best scheme;
+        # every other base is then tried only with that scheme (plus the
+        # bare model), avoiding the full grid.
+        first = bases[0]
+        rate_entries = []
+        for r in base_rates + [f"+R{k}" for k in range(2, 6)]:
+            e = evaluate(first + r)
+            if e is not None:
+                rate_entries.append((r, e))
+                results.append(e)
+                log(f"  {e['name']:<18} logL {e['logL']:.3f}  "
+                    f"BIC {e['BIC']:.3f}")
+        best_rate = min(rate_entries, key=lambda re_: re_[1][criterion])[0]
+        log(f"AUTO: best rate scheme on {first}: "
+            f"{best_rate or '(none)'}")
+        for base in bases[1:]:
+            for r in dict.fromkeys(["", best_rate]):
+                e = evaluate(base + r)
+                if e is None:
+                    break
+                results.append(e)
+                log(f"  {e['name']:<18} logL {e['logL']:.3f}  "
+                    f"BIC {e['BIC']:.3f}")
+        if ckp is not None:
+            ckp.end_struct()
+        results.sort(key=lambda e: e[criterion])
+        return {"best": results[0]["name"], "criterion": criterion,
+                "table": results}
+
     for base in bases:
         bad_base = False
         for r in base_rates:

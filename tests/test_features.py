@@ -185,3 +185,19 @@ def test_sankoff_parsimony():
     sank2 = pars.sankoff_score(tree, aln.tip_codes(), w, cost,
                                aln.seqtype.tip_table)
     assert sank2 < sank
+
+
+def test_modelfinder_auto_mode():
+    """-m AUTO: rate schemes on the first base, then bases with the best
+    scheme (reference ordering, main/phylotesting.cpp:1347)."""
+    from tests.test_pallas2 import _setup
+    from iqtree2_tpu.modelfinder import run_modelfinder
+    from iqtree2_tpu.params import Params
+
+    eng, tree = _setup(6, npat=64, seed=19)
+    p = Params(seed=1, model_eps=0.5)
+    res = run_modelfinder(eng.aln, p, log=lambda s: None, mode="AUTO",
+                          tree=tree)
+    assert res["best"]
+    # AUTO must test far fewer candidates than the full MFP grid
+    assert len(res["table"]) < 60
