@@ -366,6 +366,24 @@ def run_analysis(params: Params) -> dict:
                 f.write(f"{n:<12}" +
                         " ".join(f"{D[i, j]:.6f}"
                                  for j in range(aln.ntaxa)) + "\n")
+    # ---------------- root position test (--root-test) --------------------
+    if params.root_test:
+        from iqtree2_tpu.roottest import (rooted_newick, run_root_test,
+                                          write_roottest_csv)
+        log("Root position test: evaluating every branch as root "
+            "(doRootTest analog + RELL rootstrap)...")
+        rres = run_root_test(aln, tree, model, rates,
+                             dtype=eng.dtype, log=log)
+        write_roottest_csv(f"{prefix}.roottest.csv", rres)
+        ra, rb = rres.branches[rres.best]
+        with open(f"{prefix}.rooted.nwk", "w") as f:
+            f.write(rooted_newick(tree, ra, rb) + "\n")
+        search_info["Best root branch"] = rres.labels[rres.best]
+        search_info["Rootstrap of best root"] = (
+            f"{rres.rootstrap[rres.best]:.3f}")
+        log(f"Root test -> {prefix}.roottest.csv; rooted tree -> "
+            f"{prefix}.rooted.nwk")
+
     # ---------------- time tree (--date) ----------------------------------
     if params.date_file:
         from iqtree2_tpu.timetree import (date_tree, parse_date_file,

@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tbe", dest="tbe", action="store_true",
                    help="transfer bootstrap expectation supports "
                         "(booster/booster.h)")
+    p.add_argument("--root-test", dest="root_test", action="store_true",
+                   help="evaluate every branch as a root position "
+                        "(nonreversible models; doRootTest + rootstrap)")
     p.add_argument("--symtest", dest="symtest", action="store_true",
                    help="matched-pairs symmetry tests (doSymTest)")
     p.add_argument("-blfix", dest="fix_branch_lengths",

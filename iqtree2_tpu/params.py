@@ -42,6 +42,7 @@ class Params:
     bnni: bool = False                # -bnni (refine UFBoot trees)
     write_ml_rate: bool = False       # --mlrate (per-site ML rates)
     symtest: bool = False             # --symtest
+    root_test: bool = False           # --root-test (root position test)
     # numerics
     min_branch_length: float = 1e-6   # -blmin
     max_branch_length: float = 10.0   # -blmax
