@@ -60,6 +60,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tbe", dest="tbe", action="store_true",
                    help="transfer bootstrap expectation supports "
                         "(booster/booster.h)")
+    p.add_argument("-mset", dest="mset", default="",
+                   help="comma-separated base models for ModelFinder")
+    p.add_argument("-mrate", dest="mrate", default="",
+                   help="comma-separated rate schemes (E,I,G,I+G,R)")
+    p.add_argument("-cmax", dest="cmax", type=int, default=10,
+                   help="max categories for +R rate models")
+    p.add_argument("--merge", dest="merge_algorithm", default="greedy",
+                   choices=["greedy", "kmeans"],
+                   help="partition merging algorithm for -m MF+MERGE "
+                        "(kmeans: cluster by partition tree length, "
+                        "doKmeansClustering analog)")
     p.add_argument("--root-test", dest="root_test", action="store_true",
                    help="evaluate every branch as a root position "
                         "(nonreversible models; doRootTest + rootstrap)")

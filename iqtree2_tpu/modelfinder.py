@@ -90,7 +90,28 @@ def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
     bases = candidate_bases(aln)
     base_rates = ["", "+I", "+G", "+I+G"]
     lazy_rk = mode.upper() in ("MFP", "MF")
-    max_rk = 10
+    max_rk = int(getattr(params, "cmax", 10) or 10)
+    # -mset: restrict base models; -mrate: restrict rate schemes
+    # (reference: params.model_set / ratehet_set, main/phylotesting.cpp)
+    mset = getattr(params, "mset", "")
+    if mset:
+        want = {m.strip().upper() for m in mset.split(",") if m.strip()}
+        bases = [b for b in bases
+                 if b.upper() in want or
+                 b.upper().replace("+F", "") in want]
+        if not bases:
+            raise ValueError(f"-mset {mset}: no matching models for "
+                             f"{aln.seqtype.name}")
+    mrate = getattr(params, "mrate", "")
+    if mrate:
+        rmap = {"E": "", "": "", "I": "+I", "G": "+G", "I+G": "+I+G",
+                "G+I": "+I+G", "R": "+R"}
+        want_r = [rmap.get(r.strip().upper(), None)
+                  for r in mrate.split(",") if r.strip()]
+        if None in want_r:
+            raise ValueError(f"-mrate {mrate}: unknown scheme")
+        base_rates = [r for r in ["", "+I", "+G", "+I+G"] if r in want_r]
+        lazy_rk = lazy_rk and "+R" in want_r
     log(f"ModelFinder: testing {len(bases)} base models x rate schemes "
         f"({'+R2..+R%d lazily' % max_rk if lazy_rk else 'TEST set'}) "
         f"on a fixed parsimony topology...")

@@ -43,6 +43,10 @@ class Params:
     write_ml_rate: bool = False       # --mlrate (per-site ML rates)
     symtest: bool = False             # --symtest
     root_test: bool = False           # --root-test (root position test)
+    merge_algorithm: str = "greedy"   # --merge greedy|kmeans
+    mset: str = ""                    # -mset (restrict base models)
+    mrate: str = ""                   # -mrate (restrict rate schemes)
+    cmax: int = 10                    # -cmax (max +Rk categories)
     # numerics
     min_branch_length: float = 1e-6   # -blmin
     max_branch_length: float = 10.0   # -blmax

@@ -63,10 +63,128 @@ def select_partition_models(sa: SuperAlignment, params: Params, log,
         rows.append(dict(row, partition=name, nsites=p.nsites))
 
     if merge and sa.n_partitions > 1:
-        log("PartitionFinder: greedy partition merging...")
-        sa, models, rows = _greedy_merge(sa, models, rows, params, log,
-                                         best_for)
+        if getattr(params, "merge_algorithm", "greedy") == "kmeans":
+            log("PartitionFinder: k-means partition merging "
+                "(cluster by partition tree length)...")
+            sa, models, rows = _kmeans_merge(sa, models, rows, params, log,
+                                             best_for, tree)
+        else:
+            log("PartitionFinder: greedy partition merging...")
+            sa, models, rows = _greedy_merge(sa, models, rows, params, log,
+                                             best_for)
     return {"models": models, "aln": sa, "table": rows}
+
+
+def _kmeans_1d(x: np.ndarray, w: np.ndarray, k: int) -> list[list[int]]:
+    """Exact weighted 1-D k-means by interval DP (clusters of a sorted
+    sequence are contiguous). Returns index groups."""
+    order = np.argsort(x)
+    xs, ws = x[order], w[order]
+    cw = np.concatenate([[0.0], np.cumsum(ws)])
+    cwx = np.concatenate([[0.0], np.cumsum(ws * xs)])
+    cwx2 = np.concatenate([[0.0], np.cumsum(ws * xs * xs)])
+
+    def cost(i, j):  # weighted SSE of xs[i:j]
+        W = cw[j] - cw[i]
+        if W <= 0:
+            return 0.0
+        m = (cwx[j] - cwx[i]) / W
+        return cwx2[j] - cwx2[i] - W * m * m
+
+    n = len(xs)
+    D = np.full((k + 1, n + 1), np.inf)
+    D[0, 0] = 0.0
+    back = np.zeros((k + 1, n + 1), np.int64)
+    for c in range(1, k + 1):
+        for j in range(1, n + 1):
+            for i in range(c - 1, j):
+                v = D[c - 1, i] + cost(i, j)
+                if v < D[c, j]:
+                    D[c, j] = v
+                    back[c, j] = i
+    groups, j = [], n
+    for c in range(k, 0, -1):
+        i = int(back[c, j])
+        if j > i:
+            groups.append(sorted(order[i:j].tolist()))
+        j = i
+    return groups[::-1]
+
+
+def _kmeans_merge(sa, models, rows, params, log, best_for, tree):
+    """k-means merge mode: cluster partitions by their ML tree length
+    (proportional-rate proxy), try every cluster count, keep the best
+    total criterion. Reference: doKmeansClustering
+    (main/phylotesting.cpp:1793-1890, MERGE_KMEANS :2114)."""
+    import jax.numpy as jnp
+
+    from iqtree2_tpu.engine import LikelihoodEngine
+    from iqtree2_tpu.model.factory import build_model
+
+    # per-partition tree length under the selected model (lenvec analog)
+    lenvec = np.zeros(sa.n_partitions)
+    for i, (p, m) in enumerate(zip(sa.partitions, models)):
+        mo, ra, _ = build_model(m, p)
+        eng = LikelihoodEngine(p, mo, ra, dtype=jnp.float32)
+        t = tree.copy()
+        eng.optimize_branches(t, n_rounds=4)
+        lenvec[i] = t.total_length()
+    nsites = np.array([p.nsites for p in sa.partitions], float)
+    log("  partition tree lengths: " +
+        ", ".join(f"{sa.part_names[i]}={lenvec[i]:.3f}"
+                  for i in range(sa.n_partitions)))
+
+    # cluster within each seqtype class (cross-type merges are invalid)
+    classes: dict[str, list[int]] = {}
+    for i, p in enumerate(sa.partitions):
+        classes.setdefault(p.seqtype.name, []).append(i)
+
+    part_rows = {(i,): rows[i] for i in range(sa.n_partitions)}
+
+    def group_row(g: list[int]):
+        key = tuple(sorted(g))
+        if key not in part_rows:
+            name = "+".join(sa.part_names[i] for i in g)
+            merged = sa.merged_partition(list(key), name)
+            best, row = best_for(merged, name)
+            part_rows[key] = dict(row, partition=name,
+                                  nsites=merged.nsites, model=best)
+        return part_rows[key]
+
+    groups: list[list[int]] = []
+    for cname, idx in classes.items():
+        best_groups = [[i] for i in idx]
+        best_score = sum(part_rows[(i,)]["BIC"] for i in idx)
+        for k in range(len(idx) - 1, 0, -1):
+            cl = _kmeans_1d(lenvec[idx], nsites[idx], k)
+            gk = [[idx[j] for j in g] for g in cl]
+            score = sum(group_row(g)["BIC"] for g in gk)
+            log(f"  [{cname}] k={k}: total BIC {score:.2f}")
+            if score < best_score:
+                best_score, best_groups = score, gk
+        groups.extend(best_groups)
+
+    # materialize (same as the greedy path)
+    from iqtree2_tpu.data.superalignment import build_superalignment
+    parts, names, mods, new_rows = [], [], [], []
+    for g in groups:
+        key = tuple(sorted(g))
+        row = part_rows.get(key) or group_row(g)
+        if len(g) == 1:
+            parts.append(sa.partitions[g[0]])
+            names.append(sa.part_names[g[0]])
+        else:
+            name = "+".join(sa.part_names[i] for i in g)
+            parts.append(sa.merged_partition(sorted(g), name))
+            names.append(name)
+        mods.append(row.get("model", row["name"]))
+        new_rows.append(row)
+    for p, n in zip(parts, names):
+        p.name = n
+    sa2 = build_superalignment(parts, mods)
+    sa2.part_names = names
+    log(f"k-means merge: {sa.n_partitions} -> {len(parts)} partitions")
+    return sa2, mods, new_rows
 
 
 def _greedy_merge(sa, models, rows, params, log, best_for):
