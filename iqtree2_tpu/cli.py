@@ -142,6 +142,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "0.03,0.1; simulator/alisimulator.h:241)")
     p.add_argument("--indel-size", dest="indel_size", type=float,
                    default=3.0, help="mean geometric indel size")
+    p.add_argument("--alisim-nprocs", dest="sim_nprocs", type=int,
+                   default=1, help="MPI-style AliSim split: total workers")
+    p.add_argument("--alisim-rank", dest="sim_rank", type=int, default=0,
+                   help="this worker's rank (simulates replicates "
+                        "rank, rank+nprocs, ...)")
     return p
 
 

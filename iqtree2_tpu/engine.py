@@ -40,21 +40,23 @@ def _loglik_jit(blens, tipP, sched, pack, pattern_weights):
 
 @functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton"))
 def _optimize_blens_jit(blens, tipP, sched, pack, pattern_weights,
-                        t_min, t_max, n_rounds: int, n_newton: int):
+                        t_min, t_max, n_rounds: int, n_newton: int,
+                        eps=1e-3):
     """Iterative all-branch Newton via theta buffers with global backtracking.
 
     Each round: down pass (cache msgs) + up pass -> thetas for every edge ->
     per-edge bounded Newton (parallel coordinate update) -> monotonicity
-    backtracking on the joint update. Reference analog: optimizeAllBranches
-    sweeps (tree/phylotree.cpp:2689) — here all branches update in parallel.
+    backtracking on the joint update. Rounds stop early once a sweep gains
+    less than ``eps`` logL. Reference analog: optimizeAllBranches sweeps
+    (tree/phylotree.cpp:2689, tolerance exit) — here all branches update in
+    parallel.
     """
     dtype = tipP.dtype
 
     def lg(b):
         return pruning.tree_loglik(b, tipP, sched, pack, pattern_weights)[0]
 
-    def one_round(carry, _):
-        blens, logL_prev = carry
+    def one_round(blens, logL_prev):
         P = pruning.transition_tensors(blens.astype(dtype), pack)
         dp, up = pruning.both_passes(P, tipP, sched, pack)
         th = pruning.edge_thetas(up, dp, sched["edge_src"], pack)
@@ -85,17 +87,36 @@ def _optimize_blens_jit(blens, tipP, sched, pack, pattern_weights,
         worse = jnp.logical_not(l_new >= logL_prev - 1e-9)
         prop = jnp.where(worse, blens, prop)
         l_new = jnp.where(worse, logL_prev, l_new)
-        return (prop, l_new), l_new
+        return prop, l_new
+
+    return _sweep_until(lg, one_round, blens, n_rounds, eps)
+
+
+def _sweep_until(lg, one_round, blens, n_rounds: int, eps):
+    """Run optimizeAllBranches-style sweeps until the per-sweep logL gain
+    drops below eps (reference tolerance exit, tree/phylotree.cpp:2689) or
+    n_rounds is reached."""
+    def cond(state):
+        _, logL, prev, k = state
+        return (k < n_rounds) & ((k < 1) | (logL - prev > eps))
+
+    def body(state):
+        b, logL, _, k = state
+        b, l_new = one_round(b, logL)
+        return b, l_new, logL, k + 1
 
     l0 = lg(blens)
-    (blens, logL), _ = jax.lax.scan(one_round, (blens, l0), None,
-                                    length=n_rounds)
+    blens, logL, _, _ = jax.lax.while_loop(
+        cond, body,
+        (blens, l0, jnp.full_like(l0, -jnp.inf),
+         jnp.zeros((), jnp.int32)))
     return blens, logL
 
 
 @functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton"))
 def _optimize_blens_nonrev_jit(blens, tipP, sched, pack, pattern_weights,
-                               t_min, t_max, n_rounds: int, n_newton: int):
+                               t_min, t_max, n_rounds: int, n_newton: int,
+                               eps=1e-3):
     """Branch Newton for nonreversible models: no eigenbasis theta trick;
     per-edge (down, out) partials feed direct bilinear derivatives through
     dP/dt = Q P (ops/pruning.py branch_lh_derivs_nonrev)."""
@@ -104,8 +125,7 @@ def _optimize_blens_nonrev_jit(blens, tipP, sched, pack, pattern_weights,
     def lg(b):
         return pruning.tree_loglik(b, tipP, sched, pack, pattern_weights)[0]
 
-    def one_round(carry, _):
-        blens, logL_prev = carry
+    def one_round(blens, logL_prev):
         P = pruning.transition_tensors(blens.astype(dtype), pack)
         dp, up = pruning.both_passes(P, tipP, sched, pack)
         down, down_sc = pruning.edge_down_partials(dp, sched["edge_src"])
@@ -136,12 +156,9 @@ def _optimize_blens_nonrev_jit(blens, tipP, sched, pack, pattern_weights,
         worse = jnp.logical_not(l_new >= logL_prev - 1e-9)
         prop = jnp.where(worse, blens, prop)
         l_new = jnp.where(worse, logL_prev, l_new)
-        return (prop, l_new), l_new
+        return prop, l_new
 
-    l0 = lg(blens)
-    (blens, logL), _ = jax.lax.scan(one_round, (blens, l0), None,
-                                    length=n_rounds)
-    return blens, logL
+    return _sweep_until(lg, one_round, blens, n_rounds, eps)
 
 
 @jax.jit

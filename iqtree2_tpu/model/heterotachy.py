@@ -73,8 +73,7 @@ def _optimize_mixlen_jit(blens2, tipP, sched, pack, pattern_weights,
         return pruning.tree_loglik(b2, tipP, sched, pack,
                                    pattern_weights)[0]
 
-    def one_round(carry, _):
-        b2, logL_prev = carry
+    def one_round(b2, logL_prev):
         P = pruning.transition_tensors(b2.astype(dtype), pack)
         dp, up = pruning.both_passes(P, tipP, sched, pack)
         th = pruning.edge_thetas(up, dp, sched["edge_src"], pack)
@@ -103,12 +102,10 @@ def _optimize_mixlen_jit(blens2, tipP, sched, pack, pattern_weights,
         worse = jnp.logical_not(l_new >= logL_prev - 1e-9)
         prop = jnp.where(worse, b2, prop)
         l_new = jnp.where(worse, logL_prev, l_new)
-        return (prop, l_new), l_new
+        return prop, l_new
 
-    l0 = lg(blens2)
-    (blens2, logL), _ = jax.lax.scan(one_round, (blens2, l0), None,
-                                     length=n_rounds)
-    return blens2, logL
+    from iqtree2_tpu.engine import _sweep_until
+    return _sweep_until(lg, one_round, blens2, n_rounds, 1e-3)
 
 
 @jax.jit

@@ -118,6 +118,57 @@ def sankoff_score(tree: Tree, codes: np.ndarray, weights: np.ndarray,
     return float((dp[root].min(axis=0) * weights).sum())
 
 
+def sankoff_score_device(tree: Tree, codes: np.ndarray,
+                         weights: np.ndarray, cost: np.ndarray,
+                         tip_table: np.ndarray) -> float:
+    """On-chip Sankoff: the min-plus analog of the level-batched pruning
+    scan (ops/pruning._down_pass_xla) over the same TreeSchedule arrays —
+    each step does one batched [G, 2, S, S, P] min-reduction instead of a
+    sum-product contraction. Reference: the Sankoff kernel of
+    tree/phylotreepars.cpp:636 (computePartialParsimonySankoff).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from iqtree2_tpu.tree.schedule import build_schedule
+
+    S = cost.shape[0]
+    BIG = 1e9
+    sched = build_schedule(tree)
+    arrs = sched.to_device_arrays()
+    tip_cost = np.where(tip_table > 0, 0.0, BIG)        # [ncodes, S]
+    tipC = np.transpose(tip_cost[codes], (0, 2, 1))     # [L, S, P]
+
+    @jax.jit
+    def run(tipC, cost, child_src, child_edge, step_node, weights):
+        L, _, Pp = tipC.shape
+        n_int = child_src.shape[0]
+        DP0 = jnp.full((L + n_int, S, Pp), BIG, jnp.float32)
+        DP0 = DP0.at[:L].set(tipC)
+
+        def body(DP, nid):
+            nid_c = jnp.minimum(nid, n_int - 1)
+            src = DP[child_src[nid_c]]                  # [G, 2, S, Pp]
+            m = jnp.min(cost[None, None, :, :, None]
+                        + src[:, :, None, :, :], axis=3)
+            acc = jnp.minimum(m.sum(axis=1), BIG)       # [G, S, Pp]
+            out_idx = jnp.where(nid < n_int, L + nid, L + n_int)
+            return DP.at[out_idx].set(acc, mode="drop"), None
+
+        DP, _ = jax.lax.scan(body, DP0, step_node)
+        # fold leaf 0 into the root (schedule convention)
+        m0 = jnp.min(cost[:, :, None] + tipC[0][None, :, :], axis=1)
+        total = jnp.min(DP[L + n_int - 1] + m0, axis=0)  # [Pp]
+        return jnp.sum(total * weights)
+
+    return float(run(jnp.asarray(tipC, jnp.float32),
+                     jnp.asarray(cost, jnp.float32),
+                     jnp.asarray(arrs["child_src"]),
+                     jnp.asarray(arrs["child_edge"]),
+                     jnp.asarray(arrs["step_node"]),
+                     jnp.asarray(weights, jnp.float32)))
+
+
 def random_stepwise_addition(aln: Alignment, rng: np.random.Generator,
                              subsample: int | None = None,
                              constraint=None) -> Tree:

@@ -47,6 +47,8 @@ class Params:
     mset: str = ""                    # -mset (restrict base models)
     mrate: str = ""                   # -mrate (restrict rate schemes)
     cmax: int = 10                    # -cmax (max +Rk categories)
+    sim_nprocs: int = 1               # --alisim-nprocs (MPI-style split)
+    sim_rank: int = 0                 # --alisim-rank
     # numerics
     min_branch_length: float = 1e-6   # -blmin
     max_branch_length: float = 10.0   # -blmax

@@ -280,7 +280,20 @@ def run_alisim(params) -> list[str]:
     from iqtree2_tpu.data.alignment import Alignment
     from iqtree2_tpu.model.factory import build_model
 
-    rng = np.random.default_rng(params.seed)
+    # MPI-style replicate splitting (reference: AliSim's MPI mode splits
+    # --num-alignments across ranks, simulator/alisimulator.cpp): rank r
+    # of n writes replicates r, r+n, ... Per-replicate RNG streams are
+    # derived from (seed, replicate), so the union of all ranks' outputs
+    # is byte-identical to a single-process run.
+    nprocs = max(int(getattr(params, "sim_nprocs", 1) or 1), 1)
+    rank = int(getattr(params, "sim_rank", 0) or 0)
+    if not (0 <= rank < nprocs):
+        raise SystemExit(f"--alisim-rank {rank} out of range for "
+                         f"--alisim-nprocs {nprocs}")
+
+    def rep_rng(i: int) -> np.random.Generator:
+        return np.random.default_rng([params.seed, i])
+
     tree_file = params.user_tree or params.start_tree
     if not tree_file:
         raise SystemExit("--alisim requires a tree via -t TREE")
@@ -303,6 +316,9 @@ def run_alisim(params) -> list[str]:
                                  params.seqtype)
         outs = []
         for i in range(params.sim_num_alignments):
+            if i % nprocs != rank:
+                continue
+            rng = rep_rng(i)
             seqs_all = {n: [] for n in tree.taxon_names}
             for part, mstr in zip(sa.partitions, sa.part_models):
                 m_p, r_p, _ = build_model(mstr or model_str, part)
@@ -334,6 +350,9 @@ def run_alisim(params) -> list[str]:
 
     outs = []
     for i in range(params.sim_num_alignments):
+        if i % nprocs != rank:
+            continue
+        rng = rep_rng(i)
         if mimic is not None:
             seqs = mimic_alignment(mimic, tree, model, rates, rng)
         elif ins_rate > 0 or del_rate > 0:

@@ -186,6 +186,14 @@ def test_sankoff_parsimony():
                                aln.seqtype.tip_table)
     assert sank2 < sank
 
+    # the on-chip min-plus scan agrees with the host DP on both costs
+    dev1 = pars.sankoff_score_device(tree, aln.tip_codes(), w, unit,
+                                     aln.seqtype.tip_table)
+    dev2 = pars.sankoff_score_device(tree, aln.tip_codes(), w, cost,
+                                     aln.seqtype.tip_table)
+    assert abs(dev1 - sank) < 1e-3
+    assert abs(dev2 - sank2) < 1e-3
+
 
 def test_modelfinder_auto_mode():
     """-m AUTO: rate schemes on the first base, then bases with the best
