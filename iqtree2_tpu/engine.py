@@ -67,50 +67,51 @@ def _optimize_blens_jit(blens, tipP, sched, pack, pattern_weights,
         prop = newton(blens.astype(dtype), th.theta, th.scale)
         prop = jnp.clip(prop, t_min, t_max)
 
-        # backtracking: halve the joint step while logL decreases (<=4 times)
-        def body(state):
-            cur, _, k = state
-            cur = 0.5 * (cur + blens)
-            return cur, lg(cur), k + 1
-
-        def cond(state):
-            cur, lcur, k = state
-            # NaN-safe: a NaN logL must keep backtracking
-            return jnp.logical_not(lcur >= logL_prev - 1e-9) \
-                & (k < 4)
-
-        l_prop = lg(prop)
-        prop, l_new, _ = jax.lax.while_loop(
-            cond, body, (prop, l_prop, jnp.zeros((), jnp.int32)))
-        # monotonicity guarantee: if backtracking ran out, keep the old
-        # lengths (reference contract: optimizeAllBranches never worsens)
-        worse = jnp.logical_not(l_new >= logL_prev - 1e-9)
-        prop = jnp.where(worse, blens, prop)
-        l_new = jnp.where(worse, logL_prev, l_new)
-        return prop, l_new
+        return _backtrack(lg, blens, prop, logL_prev)
 
     return _sweep_until(lg, one_round, blens, n_rounds, eps)
+
+
+def _backtrack(lg, blens_old, prop, logL_prev, n_halve: int = 3):
+    """Monotonic acceptance of a joint Newton proposal: halve toward the
+    old lengths (each halving behind lax.cond, so the converged/common
+    case pays nothing) and keep the old state if all halvings fail
+    (reference contract: optimizeAllBranches never worsens)."""
+    def halve(state):
+        cur, _ = state
+        cur = 0.5 * (cur + blens_old)
+        return cur, lg(cur)
+
+    state = (prop, lg(prop))
+    for _ in range(n_halve):
+        # NaN-safe: a NaN logL must keep backtracking
+        state = jax.lax.cond(
+            jnp.logical_not(state[1] >= logL_prev - 1e-9),
+            halve, lambda s: s, state)
+    prop, l_new = state
+    worse = jnp.logical_not(l_new >= logL_prev - 1e-9)
+    prop = jnp.where(worse, blens_old, prop)
+    l_new = jnp.where(worse, logL_prev, l_new)
+    return prop, l_new
 
 
 def _sweep_until(lg, one_round, blens, n_rounds: int, eps):
     """Run optimizeAllBranches-style sweeps until the per-sweep logL gain
     drops below eps (reference tolerance exit, tree/phylotree.cpp:2689) or
-    n_rounds is reached."""
-    def cond(state):
-        _, logL, prev, k = state
-        return (k < n_rounds) & ((k < 1) | (logL - prev > eps))
-
-    def body(state):
-        b, logL, _, k = state
-        b, l_new = one_round(b, logL)
-        return b, l_new, logL, k + 1
-
+    n_rounds is reached. Rounds are UNROLLED with each behind lax.cond:
+    dynamic-trip While programs cost ~20ms extra per dispatch through the
+    device transport, while a taken-or-skipped branch is free."""
     l0 = lg(blens)
-    blens, logL, _, _ = jax.lax.while_loop(
-        cond, body,
-        (blens, l0, jnp.full_like(l0, -jnp.inf),
-         jnp.zeros((), jnp.int32)))
-    return blens, logL
+    state = (blens, l0, jnp.asarray(True))
+
+    def go(s):
+        b, l, _ = s
+        nb, nl = one_round(b, l)
+        return nb, nl, (nl - l) > eps
+
+    for _ in range(n_rounds):
+        state = jax.lax.cond(state[2], go, lambda s: s, state)
+    return state[0], state[1]
 
 
 @functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton"))
@@ -136,27 +137,7 @@ def _optimize_blens_nonrev_jit(blens, tipP, sched, pack, pattern_weights,
                 pattern_weights, t_min, t_max, n_iter=n_newton))
         prop = jnp.clip(newton(blens.astype(dtype), down, up.edge_E, scale),
                         t_min, t_max)
-
-        def body(state):
-            cur, _, k = state
-            cur = 0.5 * (cur + blens)
-            return cur, lg(cur), k + 1
-
-        def cond(state):
-            cur, lcur, k = state
-            # NaN-safe: a NaN logL must keep backtracking
-            return jnp.logical_not(lcur >= logL_prev - 1e-9) \
-                & (k < 4)
-
-        l_prop = lg(prop)
-        prop, l_new, _ = jax.lax.while_loop(
-            cond, body, (prop, l_prop, jnp.zeros((), jnp.int32)))
-        # monotonicity guarantee: if backtracking ran out, keep the old
-        # lengths (reference contract: optimizeAllBranches never worsens)
-        worse = jnp.logical_not(l_new >= logL_prev - 1e-9)
-        prop = jnp.where(worse, blens, prop)
-        l_new = jnp.where(worse, logL_prev, l_new)
-        return prop, l_new
+        return _backtrack(lg, blens, prop, logL_prev)
 
     return _sweep_until(lg, one_round, blens, n_rounds, eps)
 
@@ -255,7 +236,16 @@ class LikelihoodEngine:
     # ----------------------------------------------------------- model mgmt
     def refresh_model(self) -> None:
         """Rebuild the ModelPack after model/rate parameter changes."""
+        if not hasattr(self, "_sched_arrays_cache"):
+            self._sched_arrays_cache = {}
         pk = build_model_pack(self.aln, self.model, self.rates)
+        # cached plan arrays embed tip streams built from tipP; key them by
+        # the tip-table content so +E error models (which rewrite the tip
+        # table per parameter step) never reuse stale streams
+        import hashlib
+        self._tip_token = hashlib.blake2b(
+            np.ascontiguousarray(pk.tip_table).tobytes(),
+            digest_size=8).digest()
         pad = self.Pp - self.aln.num_patterns
         log_inv = np.pad(pk.log_ptn_invar, (0, pad),
                          constant_values=-np.inf)
@@ -313,6 +303,25 @@ class LikelihoodEngine:
             return False
 
     def schedule_arrays(self, sched: TreeSchedule) -> dict:
+        # Plans/tip-streams depend only on the topology (and this engine's
+        # tip partials), so repeated evaluations of the same tree — every
+        # fixed-topology model refit, each bench/optimizer call — skip the
+        # host-side plan construction entirely.
+        key = getattr(sched, "_arrays_key", None)
+        if key is None:
+            import hashlib
+            h = hashlib.blake2b(digest_size=16)
+            h.update(sched.child_src.tobytes())
+            h.update(sched.child_edge.tobytes())
+            h.update(sched.step_node.tobytes())
+            h.update(sched.edge_src.tobytes())
+            key = h.digest()
+            sched._arrays_key = key
+        key = (key, self._tip_token, int(self.pack_np.cat_rate.shape[0]))
+        cache = self._sched_arrays_cache
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         d = {k: jnp.asarray(v) for k, v in
              sched.to_device_arrays().items()}
         if self._v2_enabled():
@@ -362,6 +371,9 @@ class LikelihoodEngine:
                             int(plan.node_step[sched.n_int - 1])),
                         p2u_root_slot=jnp.asarray(
                             int(plan.node_slot[sched.n_int - 1])))
+        if len(cache) >= 32:     # bound memory: drop the oldest entry
+            cache.pop(next(iter(cache)))
+        cache[key] = d
         return d
 
     # ------------------------------------------------------------ main API

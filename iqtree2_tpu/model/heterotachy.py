@@ -83,26 +83,8 @@ def _optimize_mixlen_jit(blens2, tipP, sched, pack, pattern_weights,
                 pattern_weights, t_min, t_max, n_iter=n_newton))
         prop = jnp.clip(newton(b2.astype(dtype), th.theta, th.scale),
                         t_min, t_max)
-
-        def body(state):
-            cur, _, k = state
-            cur = 0.5 * (cur + b2)
-            return cur, lg(cur), k + 1
-
-        def cond(state):
-            # NaN-safe: a NaN logL must keep backtracking
-            return jnp.logical_not(state[1] >= logL_prev - 1e-9) \
-                & (state[2] < 4)
-
-        l_prop = lg(prop)
-        prop, l_new, _ = jax.lax.while_loop(
-            cond, body, (prop, l_prop, jnp.zeros((), jnp.int32)))
-        # monotonicity guarantee: if backtracking ran out, keep the old
-        # lengths (reference contract: optimizeAllBranches never worsens)
-        worse = jnp.logical_not(l_new >= logL_prev - 1e-9)
-        prop = jnp.where(worse, b2, prop)
-        l_new = jnp.where(worse, logL_prev, l_new)
-        return prop, l_new
+        from iqtree2_tpu.engine import _backtrack
+        return _backtrack(lg, b2, prop, logL_prev)
 
     from iqtree2_tpu.engine import _sweep_until
     return _sweep_until(lg, one_round, blens2, n_rounds, 1e-3)
