@@ -513,6 +513,11 @@ def _write_asr(path, eng, tree, aln) -> None:
 
 
 def _optimize_model_only(eng, tree, params):
+    from iqtree2_tpu.model import jaxfit
+    fitted = jaxfit.try_fit(eng, tree, fix_blens=True,
+                            epsilon=params.model_eps)
+    if fitted is not None:
+        return fitted
     from iqtree2_tpu.tree.schedule import build_schedule
     from iqtree2_tpu.utils.optimize import lbfgsb_minimize
     model, rates = eng.model, eng.rates

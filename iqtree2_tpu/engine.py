@@ -72,7 +72,7 @@ def _optimize_blens_jit(blens, tipP, sched, pack, pattern_weights,
     return _sweep_until(lg, one_round, blens, n_rounds, eps)
 
 
-def _backtrack(lg, blens_old, prop, logL_prev, n_halve: int = 3):
+def _backtrack(lg, blens_old, prop, logL_prev, n_halve: int = 4):
     """Monotonic acceptance of a joint Newton proposal: halve toward the
     old lengths (each halving behind lax.cond, so the converged/common
     case pays nothing) and keep the old state if all halvings fail

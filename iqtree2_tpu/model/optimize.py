@@ -31,6 +31,17 @@ def optimize_model_parameters(eng: LikelihoodEngine, tree: Tree,
 
     Returns the final log-likelihood.
     """
+    # fast path: one-dispatch joint device fit with exact gradients
+    # (float64 whenever x64 is enabled — closes the float32 stall of the
+    # finite-difference host loop below; see model/jaxfit.py)
+    from iqtree2_tpu.model import jaxfit
+    fitted = jaxfit.try_fit(eng, tree, fix_model=fix_model,
+                            fix_rates=fix_rates, epsilon=epsilon)
+    if fitted is not None:
+        if verbose:
+            print(f"  [model-opt] device L-BFGS fit: logL {fitted:.4f}")
+        return fitted
+
     model, rates = eng.model, eng.rates
     logL = eng.optimize_branches(tree, n_rounds=blen_rounds)
     for rnd in range(max_rounds):

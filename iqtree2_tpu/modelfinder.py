@@ -74,7 +74,7 @@ def information_scores(logL: float, df: int, n_sites: int) -> dict:
 
 
 def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
-                    criterion: str = "BIC", tree=None,
+                    criterion: str | None = None, tree=None,
                     mode: str | None = None) -> dict:
     """Evaluate the candidate grid on a fixed topology; return best model.
 
@@ -83,6 +83,8 @@ def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
     """
     import jax.numpy as jnp
 
+    if criterion is None:
+        criterion = getattr(params, "merit", "") or "BIC"
     mode = mode or params.model
     rng = np.random.default_rng(params.seed)
     if tree is None:
@@ -111,7 +113,10 @@ def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
         if None in want_r:
             raise ValueError(f"-mrate {mrate}: unknown scheme")
         base_rates = [r for r in ["", "+I", "+G", "+I+G"] if r in want_r]
-        lazy_rk = lazy_rk and "+R" in want_r
+        # -mrate R must enable the +Rk expansion in ANY mode (reference
+        # tests +R whenever requested; previously TEST + "-mrate R"
+        # evaluated zero models and crashed)
+        lazy_rk = "+R" in want_r
     log(f"ModelFinder: testing {len(bases)} base models x rate schemes "
         f"({'+R2..+R%d lazily' % max_rk if lazy_rk else 'TEST set'}) "
         f"on a fixed parsimony topology...")

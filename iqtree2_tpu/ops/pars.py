@@ -132,6 +132,11 @@ def sankoff_score_device(tree: Tree, codes: np.ndarray,
 
     from iqtree2_tpu.tree.schedule import build_schedule
 
+    if not tree.check_binary_unrooted():
+        # TreeSchedule assumes exactly two children per internal node; a
+        # multifurcating tree would silently mis-score on device
+        return sankoff_score(tree, codes, weights, cost, tip_table)
+
     S = cost.shape[0]
     BIG = 1e9
     sched = build_schedule(tree)

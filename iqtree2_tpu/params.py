@@ -47,6 +47,7 @@ class Params:
     mset: str = ""                    # -mset (restrict base models)
     mrate: str = ""                   # -mrate (restrict rate schemes)
     cmax: int = 10                    # -cmax (max +Rk categories)
+    merit: str = "BIC"                # -merit AIC|AICc|BIC (model_test_criterion)
     sim_nprocs: int = 1               # --alisim-nprocs (MPI-style split)
     sim_rank: int = 0                 # --alisim-rank
     # numerics

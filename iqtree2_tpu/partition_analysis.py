@@ -111,6 +111,17 @@ def _kmeans_1d(x: np.ndarray, w: np.ndarray, k: int) -> list[list[int]]:
     return groups[::-1]
 
 
+def _pooled_score(rows, total_sites: int, crit: str) -> float:
+    """One information score from pooled logL/df over the whole supermatrix
+    (reference: computeInformationScore over lhsum/dfsum,
+    main/phylotesting.cpp:1793-1890). Per-partition score sums use each
+    partition's own ln(n) and cannot express AIC/AICc correctly."""
+    from iqtree2_tpu.modelfinder import information_scores
+    lh = sum(r["logL"] for r in rows)
+    df = sum(r["df"] for r in rows)
+    return information_scores(lh, df, total_sites)[crit]
+
+
 def _kmeans_merge(sa, models, rows, params, log, best_for, tree):
     """k-means merge mode: cluster partitions by their ML tree length
     (proportional-rate proxy), try every cluster count, keep the best
@@ -151,18 +162,29 @@ def _kmeans_merge(sa, models, rows, params, log, best_for, tree):
                                   nsites=merged.nsites, model=best)
         return part_rows[key]
 
+    crit = getattr(params, "merit", "") or "BIC"
+    N_total = sa.nsites
     groups: list[list[int]] = []
+    # global pooled score: the class being re-clustered varies while the
+    # other classes keep singleton rows (they are clustered afterwards in
+    # turn; logL/df are additive so the argmin per class is exact)
+    other_rows: dict[str, list] = {
+        c: [part_rows[(i,)] for i in ix] for c, ix in classes.items()}
     for cname, idx in classes.items():
+        rest = [r for c, rs in other_rows.items() if c != cname for r in rs]
         best_groups = [[i] for i in idx]
-        best_score = sum(part_rows[(i,)]["BIC"] for i in idx)
+        best_score = _pooled_score(
+            rest + [part_rows[(i,)] for i in idx], N_total, crit)
         for k in range(len(idx) - 1, 0, -1):
             cl = _kmeans_1d(lenvec[idx], nsites[idx], k)
             gk = [[idx[j] for j in g] for g in cl]
-            score = sum(group_row(g)["BIC"] for g in gk)
-            log(f"  [{cname}] k={k}: total BIC {score:.2f}")
+            score = _pooled_score(rest + [group_row(g) for g in gk],
+                                  N_total, crit)
+            log(f"  [{cname}] k={k}: total {crit} {score:.2f}")
             if score < best_score:
                 best_score, best_groups = score, gk
         groups.extend(best_groups)
+        other_rows[cname] = [group_row(g) for g in best_groups]
 
     # materialize (same as the greedy path)
     from iqtree2_tpu.data.superalignment import build_superalignment
@@ -196,14 +218,17 @@ def _greedy_merge(sa, models, rows, params, log, best_for):
     groups = [[i] for i in cur]
     part_rows = {tuple([i]): rows[i] for i in cur}
     max_pairs = 10
+    crit = getattr(params, "merit", "") or "BIC"
+    N_total = sa.nsites
 
-    def total_bic():
-        return sum(part_rows[tuple(sorted(g))]["BIC"] for g in groups)
+    def total_score(gs):
+        return _pooled_score([part_rows[tuple(sorted(g))] for g in gs],
+                             N_total, crit)
 
     improved = True
     while improved and len(groups) > 1:
         improved = False
-        base_bic = total_bic()
+        base_bic = total_score(groups)
         cands = []
         for a in range(len(groups)):
             for b in range(a + 1, len(groups)):
@@ -230,9 +255,9 @@ def _greedy_merge(sa, models, rows, params, log, best_for):
                 best, row = best_for(merged, name)
                 part_rows[key] = dict(row, partition=name,
                                       nsites=merged.nsites, model=best)
-            ra = part_rows[tuple(sorted(groups[a]))]
-            rb = part_rows[tuple(sorted(groups[b]))]
-            gain = (ra["BIC"] + rb["BIC"]) - part_rows[key]["BIC"]
+            merged_groups = [gr for i, gr in enumerate(groups)
+                             if i not in (a, b)] + [g]
+            gain = base_bic - total_score(merged_groups)
             if gain > best_gain:
                 best_gain, best_pair, best_entry = gain, (a, b), key
         if best_pair is not None:
@@ -241,7 +266,8 @@ def _greedy_merge(sa, models, rows, params, log, best_for):
             groups = [gr for i, gr in enumerate(groups)
                       if i not in (a, b)] + [g]
             log(f"  merged -> {part_rows[best_entry]['partition']} "
-                f"(dBIC {best_gain:.2f}; total {base_bic - best_gain:.2f})")
+                f"(d{crit} {best_gain:.2f}; "
+                f"total {base_bic - best_gain:.2f})")
             improved = True
 
     # materialize merged SuperAlignment
