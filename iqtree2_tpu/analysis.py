@@ -46,6 +46,45 @@ class Logger:
 
 
 
+def _run_serial_search(search, params, eng, aln, ckp, ufboot, log,
+                       search_info):
+    """Single-process stochastic search (checkpoint-guarded) + final
+    thorough model refit. Returns (tree, logL)."""
+    if ckp.get("search.finished") and not params.redo:
+        fin = ckp.get("search.finished")
+        tree = Tree.from_newick(fin["tree"], aln.names)
+        search_info["Number of iterations"] = fin["iterations"]
+        log(f"Search already finished per checkpoint "
+            f"(logL {fin['logL']:.4f})")
+        if ufboot is not None and ckp.get("search.ufboot") is not None:
+            ufboot.load_state_dict(ckp.get("search.ufboot"))
+        # model params evolve during the quick init + search; refit
+        _fit_model(eng, tree, max(params.model_eps, 0.1))
+    else:
+        # initial quick model fit on a start tree before searching
+        if not params.pmsf:
+            log("Performing quick initial model optimization...")
+            import numpy as _np
+
+            from iqtree2_tpu.ops.pars import random_stepwise_addition
+            t0 = random_stepwise_addition(
+                aln, _np.random.default_rng(params.seed))
+            optimize_model_parameters(eng, t0,
+                                      epsilon=max(params.model_eps, 0.1))
+        res = search.run()
+        tree = res.best_tree
+        log(f"Search done: {res.n_iterations} iterations, "
+            f"best logL {res.best_logL:.4f}")
+        search_info["Number of iterations"] = res.n_iterations
+        ckp.put("search.finished",
+                {"tree": tree.to_newick(), "logL": res.best_logL,
+                 "iterations": res.n_iterations})
+        ckp.dump(force=True)
+    # final thorough optimization
+    logL = _fit_model(eng, tree, params.model_eps)
+    return tree, logL
+
+
 def _fit_model(eng, tree, eps, **kw):
     """Model+branch refit that also accepts the PMSF SSFEngine (whose only
     free parameters are branch lengths and the Gamma shape) and the
@@ -216,6 +255,28 @@ def run_analysis(params: Params) -> dict:
         return {"logL": logL, "trees": tm.trees,
                 "weights": tm.weights.tolist(), "elapsed": elapsed}
 
+    # ---------------- distributed search (MPI-mode analog) ----------------
+    gossip = None
+    dist_rank, dist_nranks = params.dist_rank, params.dist_nranks
+    if dist_nranks > 1:
+        from iqtree2_tpu.parallel.multihost import FileGossip
+        if not params.dist_dir:
+            raise SystemExit("--dist-nranks > 1 requires --dist-dir "
+                             "(shared gossip directory)")
+        gossip = FileGossip(params.dist_dir, dist_rank, dist_nranks)
+        log(f"Distributed search: rank {dist_rank}/{dist_nranks} "
+            f"(FileGossip at {params.dist_dir})")
+    else:
+        import os as _os
+        if _os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            from iqtree2_tpu.parallel.multihost import (JaxGossip,
+                                                        init_distributed)
+            dist_rank, dist_nranks = init_distributed()
+            if dist_nranks > 1:
+                gossip = JaxGossip(dist_rank, dist_nranks)
+                log(f"Distributed search: rank {dist_rank}/{dist_nranks} "
+                    f"(jax.distributed collective transport)")
+
     if params.user_tree:
         log(f"Reading fixed topology from {params.user_tree}")
         tree = Tree.from_newick(Path(params.user_tree).read_text(),
@@ -249,38 +310,37 @@ def run_analysis(params: Params) -> dict:
                 Path(params.constraint_tree).read_text(), aln.names)
             log(f"Constraint tree (-g): {len(constraint.splits)} splits "
                 f"over {len(constraint.mask)} taxa will be enforced")
-        search = TreeSearch(eng, aln, sp, ufboot=ufboot, log=log, ckp=ckp,
-                            constraint=constraint)
-        if ckp.get("search.finished") and not params.redo:
-            fin = ckp.get("search.finished")
-            tree = Tree.from_newick(fin["tree"], aln.names)
-            search_info["Number of iterations"] = fin["iterations"]
-            log(f"Search already finished per checkpoint "
-                f"(logL {fin['logL']:.4f})")
-            if ufboot is not None and ckp.get("search.ufboot") is not None:
-                ufboot.load_state_dict(ckp.get("search.ufboot"))
-            # model params evolve during the quick init + search; refit
-            _fit_model(eng, tree, max(params.model_eps, 0.1))
-        else:
-            # initial quick model fit on a start tree before searching
+        if gossip is not None:
+            # BSP-deterministic multi-rank search: every rank converges to
+            # the SAME tree (parallel/multihost.py), so each rank can
+            # finish the analysis independently on its own prefix
+            from iqtree2_tpu.parallel.multihost import DistributedSearch
             if not params.pmsf:
                 log("Performing quick initial model optimization...")
                 from iqtree2_tpu.ops.pars import random_stepwise_addition
-                t0 = random_stepwise_addition(aln, rng)
-                optimize_model_parameters(eng, t0,
+                t0_ = random_stepwise_addition(
+                    aln, np.random.default_rng(params.seed))
+                optimize_model_parameters(eng, t0_,
                                           epsilon=max(params.model_eps,
                                                       0.1))
-            res = search.run()
-            tree = res.best_tree
-            log(f"Search done: {res.n_iterations} iterations, "
-                f"best logL {res.best_logL:.4f}")
-            search_info["Number of iterations"] = res.n_iterations
-            ckp.put("search.finished",
-                    {"tree": tree.to_newick(), "logL": res.best_logL,
-                     "iterations": res.n_iterations})
-            ckp.dump(force=True)
-        # final thorough optimization
-        logL = _fit_model(eng, tree, params.model_eps)
+            round_size = max(dist_nranks, 4)
+            n_rounds = max(1, -(-sp.min_iterations // round_size))
+            ds = DistributedSearch(
+                eng, aln, gossip, dist_rank, dist_nranks,
+                seed=params.seed, n_init_trees=sp.n_init_trees,
+                n_nni_trees=sp.n_nni_trees, pop_size=sp.pop_size,
+                round_size=round_size, n_rounds=n_rounds,
+                pertub_strength=sp.pertub_strength, ufboot=ufboot, log=log)
+            tree, best_logL = ds.run()
+            log(f"Distributed search done: best logL {best_logL:.4f}")
+            search_info["Number of iterations"] = round_size * n_rounds
+            search_info["Distributed ranks"] = dist_nranks
+            logL = _fit_model(eng, tree, params.model_eps)
+        else:
+            search = TreeSearch(eng, aln, sp, ufboot=ufboot, log=log,
+                                ckp=ckp, constraint=constraint)
+            tree, logL = _run_serial_search(search, params, eng, aln, ckp,
+                                            ufboot, log, search_info)
 
     # ---------------- supports -------------------------------------------
     if ufboot is not None:

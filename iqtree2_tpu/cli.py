@@ -70,6 +70,16 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["AIC", "AICc", "BIC"],
                    help="model-selection criterion "
                         "(reference: params.model_test_criterion)")
+    p.add_argument("--dist-nranks", dest="dist_nranks", type=int, default=1,
+                   help="distributed search: total process count "
+                        "(launch one process per rank; reference analog: "
+                        "the MPI run mode)")
+    p.add_argument("--dist-rank", dest="dist_rank", type=int, default=0,
+                   help="distributed search: this process's rank")
+    p.add_argument("--dist-dir", dest="dist_dir", default="",
+                   help="distributed search: shared gossip directory "
+                        "(FileGossip); omit under jax.distributed to use "
+                        "the collective transport")
     p.add_argument("--merge", dest="merge_algorithm", default="greedy",
                    choices=["greedy", "kmeans"],
                    help="partition merging algorithm for -m MF+MERGE "
@@ -172,6 +182,10 @@ def params_from_args(args) -> Params:
         pr.verbose = 0
     if not pr.out_prefix:
         pr.out_prefix = pr.aln_file or pr.partition_file or "iqtree2_tpu"
+    if pr.dist_rank > 0:
+        # every rank converges to the same result (BSP-deterministic
+        # merge); rank-suffixed prefixes avoid output-file races
+        pr.out_prefix += f".rank{pr.dist_rank}"
     return pr
 
 

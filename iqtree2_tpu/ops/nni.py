@@ -72,11 +72,11 @@ def build_nni_candidates(tree: Tree, sched: TreeSchedule) -> NNICandidates:
 
 
 @functools.partial(jax.jit, static_argnames=("n_newton", "return_site_lp",
-                                             "nonrev"))
+                                             "nonrev", "axis_name"))
 def evaluate_nnis(cand_arrays, blens, dp: pruning.DownPass, up_in, up_scale,
                   sched, pack, pattern_weights, t_min, t_max,
                   n_newton: int = 4, return_site_lp: bool = False,
-                  nonrev: bool = False):
+                  nonrev: bool = False, axis_name: str | None = None):
     """Score both NNI variants (and the no-swap baseline) for all candidate
     edges at once. Returns (logl [n,3], t_opt [n,3]) where column 2 is the
     re-optimized current topology (baseline). With return_site_lp, also
@@ -123,10 +123,10 @@ def evaluate_nnis(cand_arrays, blens, dp: pruning.DownPass, up_in, up_scale,
             scale = s_down + s_out
             t_opt = pruning.newton_branch_step(
                 theta, scale, t0, pack, log_ptn_invar, pattern_weights,
-                t_min, t_max, n_iter=n_newton)
+                t_min, t_max, n_iter=n_newton, axis_name=axis_name)
             logl, _, _ = pruning.branch_lh_derivs(
                 theta, scale, t_opt, pack, log_ptn_invar, pattern_weights,
-                order=0)
+                order=0, axis_name=axis_name)
             if return_site_lp:
                 lp = pruning.branch_site_lp(theta, scale, t_opt, pack,
                                             log_ptn_invar)

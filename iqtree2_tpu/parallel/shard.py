@@ -104,6 +104,47 @@ def sharded_optimize_step_fn(mesh: Mesh, pack, n_newton: int = 4):
     return jax.jit(step)
 
 
+def sharded_rell_fn(mesh: Mesh):
+    """UFBoot RELL rescoring [R, P] @ [P] with the pattern axis sharded
+    over the mesh (reference analog: per-rank replicate slices,
+    tree/iqtree.cpp:352-362 — here each device holds a SITE slice of all
+    replicates and one psum over ICI yields every replicate's score)."""
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, AXIS), P(AXIS)), out_specs=P(),
+        check_vma=False)
+    def rell(samples, lp):
+        return jax.lax.psum(samples @ lp, AXIS)
+
+    return jax.jit(rell)
+
+
+def sharded_nni_fn(mesh: Mesh, pack, n_newton: int = 4):
+    """Batched NNI candidate scoring with every per-pattern buffer (down
+    partials, outside partials, weights) sharded on the sites axis; Newton
+    derivative sums psum over ICI (round-2/3 ask: the batch workloads ride
+    the mesh, not just plain logL)."""
+    from iqtree2_tpu.ops.nni import evaluate_nnis
+
+    dp_spec = pruning.DownPass(P(None, None, None, AXIS), P(None, AXIS))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=((P(), P(), P(), P()), P(), dp_spec,
+                  P(None, None, None, AXIS), P(None, AXIS), P(),
+                  _pack_specs(pack), P(AXIS), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def fn(cand, blens, dp, up_in, up_scale, sched, pack_, pw,
+           t_min, t_max):
+        return evaluate_nnis(cand, blens, pruning.DownPass(*dp), up_in,
+                             up_scale, sched, pack_, pw, t_min, t_max,
+                             n_newton=n_newton, axis_name=AXIS)
+
+    return jax.jit(fn)
+
+
 def shard_engine_arrays(mesh: Mesh, tipP, pattern_weights, log_ptn_invar):
     """Place the per-pattern arrays on the mesh with pattern sharding."""
     s3 = NamedSharding(mesh, P(None, None, AXIS))

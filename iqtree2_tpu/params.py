@@ -48,6 +48,10 @@ class Params:
     mrate: str = ""                   # -mrate (restrict rate schemes)
     cmax: int = 10                    # -cmax (max +Rk categories)
     merit: str = "BIC"                # -merit AIC|AICc|BIC (model_test_criterion)
+    # distributed search (reference: MPI run mode, main/main.cpp:2200)
+    dist_nranks: int = 1              # --dist-nranks (launch N processes)
+    dist_rank: int = 0                # --dist-rank (this process's rank)
+    dist_dir: str = ""                # --dist-dir (FileGossip directory)
     sim_nprocs: int = 1               # --alisim-nprocs (MPI-style split)
     sim_rank: int = 0                 # --alisim-rank
     # numerics

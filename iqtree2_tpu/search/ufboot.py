@@ -46,6 +46,40 @@ class UFBoot:
         self._splits_cache: dict[str, set] = {}
 
     # ---------------------------------------------------------------- core
+    def enable_device_rell(self, mesh=None) -> None:
+        """Run the [R, P] @ [P] RELL rescoring on device, optionally with
+        the pattern axis sharded over a mesh (reference analog: per-rank
+        replicate slices, tree/iqtree.cpp:352-362; here sites shard and
+        one psum recovers every replicate's score)."""
+        import jax
+        import jax.numpy as jnp
+        Pn = self.samples.shape[1]
+        if mesh is None:
+            self._dev_samples = jnp.asarray(self.samples)
+            self._rell_fn = jax.jit(lambda s, lp: s @ lp)
+            self._rell_pad = 0
+            self._lp_sharding = None
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from iqtree2_tpu.parallel import shard
+            Pp = shard.pad_patterns_for_mesh(Pn, mesh.devices.size)
+            self._rell_pad = Pp - Pn
+            self._dev_samples = jax.device_put(
+                np.pad(self.samples, ((0, 0), (0, self._rell_pad))),
+                NamedSharding(mesh, P(None, shard.AXIS)))
+            self._rell_fn = shard.sharded_rell_fn(mesh)
+            self._lp_sharding = NamedSharding(mesh, P(shard.AXIS))
+
+    def _rell_scores(self, pattern_lp: np.ndarray) -> np.ndarray:
+        if getattr(self, "_rell_fn", None) is None:
+            return self.samples @ pattern_lp.astype(np.float32)
+        import jax
+        lp = np.pad(pattern_lp.astype(np.float32), (0, self._rell_pad))
+        if self._lp_sharding is not None:
+            lp = jax.device_put(lp, self._lp_sharding)
+        return np.asarray(self._rell_fn(self._dev_samples, lp))
+
     def add_tree(self, tree: Tree, pattern_lp: np.ndarray,
                  tree_logL: float | None = None) -> None:
         """RELL-rescore one candidate tree against all replicates.
@@ -58,7 +92,7 @@ class UFBoot:
             self.n_pruned += 1
             return
         self.n_scored += 1
-        rell = self.samples @ pattern_lp.astype(np.float32)  # [R]
+        rell = self._rell_scores(pattern_lp)  # [R]
         if self.n_scored % 100 == 0 and np.isfinite(self.boot_logl).all():
             # weakest replicate champion minus a generous slack: a tree
             # whose original-weights logL is this far behind cannot

@@ -126,12 +126,30 @@ def build_stream_plan(sched: TreeSchedule, S: int, C: int,
     n_int = sched.n_int
     CS = C * S
     CSP = slot_pitch(CS)
-    G = group or pick_group(CSP)
-    R = G * CSP
-    TS = G * S
-
     child_src = sched.child_src          # [n_int, 2] unified (tip<L)
     child_edge = sched.child_edge
+    if group is None:
+        # Step count is lower-bounded by the internal critical path H, so
+        # a G beyond ceil(n_int / H) only pads slots: an unbalanced
+        # (caterpillar-ish) tree has ~2 ready nodes per step and G=8
+        # would waste 3/4 of every matmul, export row, and ring block.
+        # Power-of-two rounding keeps NNI-move recompiles rare.
+        depth = np.zeros(n_int, dtype=np.int64)
+        for i in range(n_int):           # postorder: children first
+            for k in range(2):
+                s = child_src[i, k]
+                if s >= L:
+                    depth[i] = max(depth[i], depth[s - L] + 1)
+        H = int(depth.max()) + 1 if n_int else 1
+        g_need = -(-n_int // max(H, 1))
+        G = 1
+        while G < g_need:
+            G *= 2
+        G = min(G, pick_group(CSP))
+    else:
+        G = group
+    R = G * CSP
+    TS = G * S
 
     # native planner (native/iqtree2_native.cpp it2_plan_stream) covers
     # phases 1+2 with identical tie-breaking; fall back to Python below
@@ -488,6 +506,30 @@ def pick_tile_up(plan: StreamPlan, Pp: int,
                    + 2 * plan.R * plan.TS * 4
                    + (plan.S + plan.CSP + 1) * pt * 4)
         outs = 2 * (3 * plan.R + 3 * plan.G) * pt * 4
+        if ring + sc + ins + outs <= budget:
+            return pt
+    return None
+
+
+def pick_tile_theta(plan: StreamPlan, Pp: int,
+                    budget: int = 6 * 1024 * 1024) -> int | None:
+    # budget is ~half the 13 MB used elsewhere: the measured VMEM of this
+    # kernel (Mosaic scoped allocation) runs ~2x this estimate due to
+    # pipeline multi-buffering of the wide in/out streams
+    """Pattern tile for the theta-mode up kernel (extra V/U^T operator
+    streams in, packed theta buffers out)."""
+    plan_up(plan)
+    for pt in (1024, 512, 256, 128):
+        if Pp % pt != 0:
+            continue
+        ring = plan.up_ring_blocks * plan.R * pt * 4
+        sc = plan.up_ring_blocks * plan.G * 8 * pt * 4
+        ins = 2 * ((2 * plan.R + 2 * plan.G + 2 * plan.TS) * pt * 4
+                   + 4 * plan.R * plan.R * 4
+                   + 4 * plan.R * plan.TS * 4
+                   + (plan.S + plan.CSP + 1) * pt * 4) \
+            + plan.R * plan.R * 4
+        outs = 2 * (2 * plan.R + 2 * plan.G) * pt * 4
         if ring + sc + ins + outs <= budget:
             return pt
     return None

@@ -172,3 +172,69 @@ def test_passes_v2_matches_xla():
         np.asarray(up2.up_in) * np.exp2(30.0 * np.asarray(up2.up_scale))[:, None, None, :],
         np.asarray(up_ref.up_in) * np.exp2(30.0 * np.asarray(up_ref.up_scale))[:, None, None, :],
         rtol=3e-5, atol=1e-30)
+
+
+def test_thetas_v2_matches_edge_thetas():
+    """Fused theta-mode up kernel must reproduce edge_thetas over the XLA
+    passes (interpret mode), and the packed Newton must agree with the
+    per-edge vmapped Newton."""
+    from iqtree2_tpu.tree.plan2 import (build_stream_plan, edge_maps,
+                                        pick_tile_export, pick_tile_up,
+                                        slot_pitch, up_scalar_arrays)
+    eng, tree = _setup(20, npat=128, seed=13)
+    sched = build_schedule(tree)
+    sa = eng.schedule_arrays(sched)
+    blens = jnp.asarray(np.maximum(sched.blens, 1e-6), jnp.float32)
+    pack = eng._dev_pack
+    tipP = eng._dev_tipP
+
+    P = pruning.transition_tensors(blens, pack)
+    dp_ref = pruning._down_pass_xla(P, tipP, sa)
+    up_ref = pruning._up_pass_xla(P, dp_ref, tipP, sa, pack["root_freqs"])
+    th_ref = pruning.edge_thetas(up_ref, dp_ref, sa["edge_src"], pack)
+
+    C = int(pack["cat_rate"].shape[0])
+    S = tipP.shape[1]
+    CS = C * S
+    plan = build_stream_plan(sched, S=S, C=C)
+    pte = pick_tile_export(plan, eng.Pp)
+    ptu = pick_tile_up(plan, eng.Pp)
+    ms, sl = plan.scalar_arrays()
+    ms_u, sl_u = up_scalar_arrays(plan)
+    e_step, e_side, e_slot, *_ = edge_maps(plan, sched)
+    pa = dict(p2_meta_step=jnp.asarray(ms), p2_meta_slot=jnp.asarray(sl),
+              p2_edge=jnp.asarray(plan.edge),
+              p2_int=jnp.asarray(plan.is_int),
+              p2_tip=jnp.asarray(plan.tip),
+              p2u_meta_step=jnp.asarray(ms_u),
+              p2u_meta_slot=jnp.asarray(sl_u),
+              p2u_root_step=jnp.asarray(int(plan.node_step[sched.n_int - 1])),
+              p2u_root_slot=jnp.asarray(int(plan.node_slot[sched.n_int - 1])))
+    thA, thB, tscA, tscB, th0, tsc0 = pp2.thetas_v2(
+        P, tipP, pa, pack, CSP=slot_pitch(CS),
+        ring_blocks=plan.ring_blocks,
+        up_ring_blocks=plan.up_ring_blocks, pt=pte, ptu=ptu,
+        interpret=True)
+    thA = np.asarray(thA)
+    thB = np.asarray(thB)
+    tscA = np.asarray(tscA)
+    tscB = np.asarray(tscB)
+    ref_t = np.asarray(th_ref.theta)    # [E, C, K, Pp]
+    ref_s = np.asarray(th_ref.scale)
+    CSP = slot_pitch(CS)
+
+    def eff(v, s):
+        return v * np.exp2(30.0 * s)
+
+    for e in range(1, sched.n_edges):
+        s_, k_, g_ = int(e_step[e]), int(e_side[e]), int(e_slot[e])
+        th = thA if k_ == 0 else thB
+        ts = tscA if k_ == 0 else tscB
+        got = th[s_, g_ * CSP: g_ * CSP + CS].reshape(C, S, -1)
+        np.testing.assert_allclose(
+            eff(got, ts[s_, g_][None, None, :]),
+            eff(ref_t[e], ref_s[e][None, None, :]),
+            rtol=3e-4, atol=1e-12)
+    np.testing.assert_allclose(
+        eff(np.asarray(th0), np.asarray(tsc0)[None, None, :]),
+        eff(ref_t[0], ref_s[0][None, None, :]), rtol=3e-4, atol=1e-12)
