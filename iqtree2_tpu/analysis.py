@@ -219,6 +219,9 @@ def run_analysis(params: Params) -> dict:
     support = None
     ufboot = None
     if params.ufboot_replicates > 0:
+        if params.boot_spec.upper() in ("GENE", "GENESITE"):
+            raise SystemExit("-bsam GENE/GENESITE requires partitioned "
+                             "data (-p/-q/-Q)")
         ufboot = UFBoot(aln, n_replicates=params.ufboot_replicates,
                         seed=params.seed)
 

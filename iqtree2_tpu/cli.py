@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="partition file (edge-proportional)")
     p.add_argument("-q", dest="partition_edge_equal",
                    help="partition file (edge-linked equal)")
+    p.add_argument("-S", dest="partition_topo_unlinked", default="",
+                   help="topology-UNLINKED partitions: one independent "
+                        "tree per locus (PhyloSuperTreeUnlinked analog)")
     p.add_argument("-Q", dest="partition_unlinked",
                    help="partition file (unlinked/separate)")
     p.add_argument("-te", dest="user_tree",
@@ -70,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["AIC", "AICc", "BIC"],
                    help="model-selection criterion "
                         "(reference: params.model_test_criterion)")
+    p.add_argument("-bsam", "--sampling", dest="boot_spec", default="",
+                   choices=["", "SITE", "GENE", "GENESITE"],
+                   help="bootstrap resampling unit for partitioned data "
+                        "(reference: -bsam, alignment/alignment.cpp:3709)")
     p.add_argument("--dist-nranks", dest="dist_nranks", type=int, default=1,
                    help="distributed search: total process count "
                         "(launch one process per rank; reference analog: "
@@ -169,7 +176,10 @@ def params_from_args(args) -> Params:
     for f in vars(pr):
         if hasattr(args, f):
             setattr(pr, f, getattr(args, f))
-    if args.partition_edge_prop:
+    if args.partition_topo_unlinked:
+        pr.partition_file = args.partition_topo_unlinked
+        pr.partition_type = "topo-unlinked"
+    elif args.partition_edge_prop:
         pr.partition_file = args.partition_edge_prop
         pr.partition_type = "edge-proportional"
     elif args.partition_edge_equal:
@@ -279,6 +289,11 @@ def main(argv=None) -> int:
         print("error: -s ALIGNMENT is required", file=sys.stderr)
         return 2
     if pr.partition_file:
+        if pr.partition_type == "topo-unlinked":
+            from iqtree2_tpu.partition_analysis import \
+                run_unlinked_topology_analysis
+            run_unlinked_topology_analysis(pr)
+            return 0
         from iqtree2_tpu.partition_analysis import run_partition_analysis
         run_partition_analysis(pr)
         return 0

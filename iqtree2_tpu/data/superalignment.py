@@ -77,14 +77,45 @@ class SuperAlignment:
 
     def bootstrap_pattern_weights(self, rng: np.random.Generator,
                                   nrep: int = 1,
-                                  scale: float = 1.0) -> np.ndarray:
-        """Partition-aware resampling: sites are resampled *within* each
-        partition (reference: SuperAlignment::createBootstrapAlignment,
-        alignment/superalignment.cpp:1294), concatenated over the shared
-        pattern axis. Returns [nrep, sum(num_patterns)]."""
-        cols = [p.bootstrap_pattern_weights(rng, nrep=nrep, scale=scale)
-                for p in self.partitions]
-        return np.concatenate(cols, axis=1)
+                                  scale: float = 1.0,
+                                  spec: str = "") -> np.ndarray:
+        """Partition-aware resampling, concatenated over the shared
+        pattern axis. Returns [nrep, sum(num_patterns)].
+
+        spec (reference: createBootstrapAlignment spec strings,
+        alignment/alignment.cpp:3709-3732; CLI -bsam):
+          ""/"SITE":  sites resampled within each partition
+                      (SuperAlignment::createBootstrapAlignment,
+                      alignment/superalignment.cpp:1294)
+          "GENE":     whole partitions resampled with replacement; a gene
+                      drawn m times contributes m x its original weights
+          "GENESITE": partitions resampled, then sites resampled within
+                      every drawn copy
+        """
+        spec = (spec or "").upper().rstrip(",")
+        if spec in ("", "SITE"):
+            cols = [p.bootstrap_pattern_weights(rng, nrep=nrep, scale=scale)
+                    for p in self.partitions]
+            return np.concatenate(cols, axis=1)
+        if spec not in ("GENE", "GENESITE"):
+            raise ValueError(f"unknown bootstrap spec {spec!r}")
+        K = self.n_partitions
+        offs = self.pattern_offsets()
+        out = np.zeros((nrep, int(offs[-1])), dtype=np.float64)
+        for r in range(nrep):
+            counts = np.bincount(rng.integers(0, K, size=K), minlength=K)
+            for k, m in enumerate(counts):
+                if m == 0:
+                    continue
+                sl = slice(int(offs[k]), int(offs[k + 1]))
+                if spec == "GENE":
+                    out[r, sl] = m * self.partitions[k].pattern_weights
+                else:
+                    for _ in range(int(m)):
+                        out[r, sl] += self.partitions[
+                            k].bootstrap_pattern_weights(rng,
+                                                         scale=scale)[0]
+        return out
 
     def identical_seq_groups(self) -> list[list[int]]:
         keys = []

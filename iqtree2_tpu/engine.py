@@ -508,18 +508,19 @@ class LikelihoodEngine:
         nni5=True re-optimizes all five branches around each candidate
         (reference: getBestNNIForBran NNI5 mode, tree/phylotree.cpp:4058)
         and additionally returns t5 [n, 3, 5] optimized lengths for the
-        (a, b, c, d, e) branches. Falls back to central-branch-only for
-        nonreversible models."""
+        (a, b, c, d, e) branches — for reversible (eigenbasis theta) AND
+        nonreversible (direct expm derivative) models."""
         from iqtree2_tpu.ops.nni import evaluate_nnis, evaluate_nnis5
         dp, up, _ = self.compute_passes(sched)
-        if nni5 and self._dev_pack.get("Q") is None:
+        if nni5:
             out = evaluate_nnis5(
                 cand_arrays, jnp.asarray(sched.blens, self.dtype),
                 dp, up, self.schedule_arrays(sched),
                 self._dev_pack, self._dev_pw,
                 jnp.asarray(t_min, self.dtype),
                 jnp.asarray(t_max, self.dtype),
-                return_site_lp=return_site_lp)
+                return_site_lp=return_site_lp,
+                nonrev=self._dev_pack.get("Q") is not None)
             if return_site_lp:
                 logl, t_e, t5, lp = out
                 return (np.asarray(logl), np.asarray(t_e),
@@ -549,10 +550,14 @@ class LikelihoodEngine:
         sched = build_schedule(tree)
         blens = jnp.asarray(np.maximum(sched.blens, t_min), self.dtype)
         sa = self.schedule_arrays(sched)
+        import os
         if self._dev_pack.get("Q") is not None:
             opt = _optimize_blens_nonrev_jit
         elif ("p2t_cfg" in sa and "asc_mask" not in self._dev_pack
-              and self._dev_pack.get("W") is not None):
+              and self._dev_pack.get("W") is not None
+              and os.environ.get("IQTREE2_TPU_THETA_KERNEL")):
+            # fused theta kernel: measured ~on par with the export+XLA
+            # path at 64 taxa (round-4 PERF_NOTES); opt-in until it wins
             opt = _optimize_blens_v2_jit
         else:
             opt = _optimize_blens_jit

@@ -698,6 +698,24 @@ def branch_site_lp(theta, scale, t, pack, log_ptn_invar):
     return jnp.logaddexp(lp, log_ptn_invar)
 
 
+def branch_site_lp_nonrev(down, out, scale, t, pack, log_ptn_invar):
+    """Per-pattern log-likelihood of one branch configuration for
+    nonreversible models (no eigenbasis): site0 = out . P(t) . down."""
+    dtype = down.dtype
+    _, _, log_rescale = scaling_consts(dtype)
+    Qc = pack["Q"][pack["cat_mix"]]
+    A = Qc * (pack["cat_rate"][:, None, None] * t)
+    P = expm_ss(A)
+    outP = jnp.einsum("cxp,cxy->cyp", out, P, precision=HIGHEST)
+    site0 = jnp.maximum(
+        jnp.einsum("c,cyp,cyp->p", pack["cat_weight"], outP, down,
+                   precision=HIGHEST), 0.0)
+    sc = scale.astype(dtype) * jnp.asarray(log_rescale, dtype)
+    tiny = jnp.finfo(dtype).tiny
+    lp = jnp.log(jnp.maximum(site0, tiny)) - sc
+    return jnp.logaddexp(lp, log_ptn_invar)
+
+
 def branch_lh_derivs_mixlen(theta, scale, tvec, pack, log_ptn_invar,
                             pattern_weights):
     """Per-category branch derivatives for heterotachy (+H) models: tvec

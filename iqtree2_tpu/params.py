@@ -52,6 +52,7 @@ class Params:
     dist_nranks: int = 1              # --dist-nranks (launch N processes)
     dist_rank: int = 0                # --dist-rank (this process's rank)
     dist_dir: str = ""                # --dist-dir (FileGossip directory)
+    boot_spec: str = ""               # -bsam SITE|GENE|GENESITE
     sim_nprocs: int = 1               # --alisim-nprocs (MPI-style split)
     sim_rank: int = 0                 # --alisim-rank
     # numerics

@@ -307,6 +307,65 @@ def write_best_scheme(path, sa: SuperAlignment, models: list[str],
     Path(path).write_text("\n".join(lines) + "\n")
 
 
+def run_unlinked_topology_analysis(params: Params) -> dict:
+    """-S: topology-UNLINKED partitions — an independent tree inferred for
+    every partition (reference: PhyloSuperTreeUnlinked,
+    tree/phylosupertreeunlinked.h; SuperAlignmentUnlinked,
+    alignment/superalignment.h:41). Each locus runs the full
+    single-alignment pipeline (ModelFinder / search / fixed topology) and
+    the per-locus trees are concatenated into <prefix>.treefile (plus
+    per-locus <prefix>.<part> outputs)."""
+    import dataclasses
+    import tempfile
+
+    from iqtree2_tpu.analysis import run_analysis
+    from iqtree2_tpu.io.alignment_io import write_phylip
+
+    t_start = time.time()
+    prefix = params.prefix
+    log = Logger(f"{prefix}.log", params.verbose)
+    log(f"Reading partition definition {params.partition_file} ...")
+    sa = read_partition_spec(params.partition_file, params.aln_file,
+                             params.seqtype)
+    log(f"Topology-unlinked analysis (-S): {sa.n_partitions} loci, "
+        f"{sa.ntaxa} taxa")
+    trees, rows = [], []
+    total = 0.0
+    for p, name, pmodel in zip(sa.partitions, sa.part_names,
+                               sa.part_models):
+        with tempfile.TemporaryDirectory() as td:
+            pf = f"{td}/{name}.phy"
+            write_phylip(p, pf)
+            sub = dataclasses.replace(
+                params, aln_file=pf, partition_file="",
+                out_prefix=f"{prefix}.{name}",
+                model=(pmodel or params.model), verbose=0,
+                no_checkpoint=True)
+            log(f"===> locus {name}: {p.nsites} sites, model "
+                f"{sub.model}")
+            res = run_analysis(sub)
+        logL = res["logL"]
+        total += logL
+        trees.append((name, res["tree"]))
+        rows.append({"partition": name, "logL": logL,
+                     "nsites": p.nsites})
+        log(f"  locus {name}: logL {logL:.4f}")
+    with open(f"{prefix}.treefile", "w") as f:
+        for name, t in trees:
+            f.write(t.to_newick() + "\n")
+    with open(f"{prefix}.partlh", "w") as f:
+        for r in rows:
+            f.write(f"{r['partition']}\t{r['nsites']}\t{r['logL']:.6f}\n")
+    elapsed = time.time() - t_start
+    log(f"Topology-unlinked analysis done in {elapsed:.2f}s; total logL "
+        f"{total:.4f}")
+    log(f"Per-locus trees -> {prefix}.treefile; per-locus logL -> "
+        f"{prefix}.partlh")
+    log.close()
+    return {"logL": total, "trees": [t for _, t in trees], "table": rows,
+            "elapsed": elapsed}
+
+
 def run_partition_analysis(params: Params) -> dict:
     t_start = time.time()
     prefix = params.prefix
@@ -357,7 +416,7 @@ def run_partition_analysis(params: Params) -> dict:
     ufboot = None
     if params.ufboot_replicates > 0:
         ufboot = UFBoot(sa, n_replicates=params.ufboot_replicates,
-                        seed=params.seed)
+                        seed=params.seed, spec=params.boot_spec)
 
     search_info = {}
     if params.user_tree:

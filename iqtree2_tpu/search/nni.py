@@ -25,6 +25,13 @@ class NNIResult:
     n_applied_total: int
 
 
+def _supports_nni5(eng) -> bool:
+    """Engines whose evaluate_nni_batch accepts nni5 (LikelihoodEngine:
+    both reversible and nonreversible packs)."""
+    from iqtree2_tpu.engine import LikelihoodEngine
+    return type(eng) is LikelihoodEngine
+
+
 def _slot_node(tree: Tree, sched, i_node: int, slot: int) -> int:
     src = int(sched.child_src[i_node, slot])
     if src < sched.ntaxa:
@@ -49,8 +56,18 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
     total_applied = 0
     logL = eng.optimize_branches(tree, n_rounds=blen_rounds)
     rnd = 0
-    use5 = nni5 and getattr(eng, "_dev_pack", {}).get("Q") is None and \
-        hasattr(eng, "evaluate_nni_batch")
+    # NNI5 is universal for LikelihoodEngine (reversible via theta,
+    # nonreversible via expm derivatives — reference applies it to all
+    # models, tree/phylotree.cpp:4058); engines without 5-branch support
+    # (partition/mixlen) announce the NNI1 downgrade instead of hiding it
+    use5 = nni5 and hasattr(eng, "evaluate_nni_batch")
+    if use5 and not _supports_nni5(eng):
+        use5 = False
+        if nni5 and not getattr(eng, "_warned_nni1", False):
+            eng._warned_nni1 = True
+            print(f"NOTE: {type(eng).__name__} scores NNIs on the central "
+                  "branch only (NNI1); five-branch re-optimization is not "
+                  "implemented for this engine")
     for rnd in range(1, max_rounds + 1):
         sched = build_schedule(tree)
         cand = build_nni_candidates(tree, sched)

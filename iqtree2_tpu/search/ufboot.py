@@ -24,7 +24,7 @@ class UFBoot:
     def __init__(self, aln: Alignment, n_replicates: int = 1000,
                  seed: int = 1, epsilon: float = 0.5,
                  min_correlation: float = 0.99,
-                 step_iterations: int = 100):
+                 step_iterations: int = 100, spec: str = ""):
         self.aln = aln
         self.n_replicates = n_replicates
         self.epsilon = epsilon
@@ -33,8 +33,14 @@ class UFBoot:
         # dedicated RNG stream so checkpoints never store the samples
         # (regenerated deterministically on resume — reference A2)
         rng = np.random.default_rng(seed ^ 0x5F5E100)
-        self.samples = aln.bootstrap_pattern_weights(
-            rng, nrep=n_replicates).astype(np.float32)  # [R, P]
+        if spec and spec.upper() not in ("", "SITE"):
+            # GENE / GENESITE resampling needs partition structure
+            # (reference: -bsam, alignment/alignment.cpp:3709)
+            self.samples = aln.bootstrap_pattern_weights(
+                rng, nrep=n_replicates, spec=spec).astype(np.float32)
+        else:
+            self.samples = aln.bootstrap_pattern_weights(
+                rng, nrep=n_replicates).astype(np.float32)  # [R, P]
         self.tie_rng = np.random.default_rng(seed ^ 0x2FE)
         self.boot_logl = np.full(n_replicates, -np.inf, dtype=np.float64)
         self.boot_trees: list[str | None] = [None] * n_replicates

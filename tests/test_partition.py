@@ -155,3 +155,64 @@ def test_partition_nni_eval_consistent():
     assert (logl[:, 2] >= logL - 1e-4).all()
     # after full branch opt no NNI should improve much on a decent tree
     assert np.isfinite(logl).all() and np.isfinite(t_opt).all()
+
+
+def test_genewise_bootstrap_specs():
+    """GENE/GENESITE resampling (reference alignment.cpp:3709-3732):
+    whole-partition resampling with the right block structure."""
+    from iqtree2_tpu.data.superalignment import read_partition_spec
+    sa = read_partition_spec(f"{GOLDEN}/example.nex",
+                             f"{GOLDEN}/example.phy")
+    rng = np.random.default_rng(5)
+    offs = sa.pattern_offsets()
+    W = sa.bootstrap_pattern_weights(rng, nrep=6, spec="GENE")
+    K = sa.n_partitions
+    for r in range(6):
+        mults = []
+        for k in range(K):
+            blk = W[r, offs[k]:offs[k + 1]]
+            orig = sa.partitions[k].pattern_weights
+            if blk.sum() == 0:
+                mults.append(0)
+                continue
+            m = blk.sum() / orig.sum()
+            assert m == int(m)
+            np.testing.assert_allclose(blk, m * orig)
+            mults.append(int(m))
+        assert sum(mults) == K          # exactly K gene draws
+    W2 = sa.bootstrap_pattern_weights(rng, nrep=4, spec="GENESITE")
+    for r in range(4):
+        # every drawn gene contributes exactly its site count
+        tot = 0
+        for k in range(K):
+            blk = W2[r, offs[k]:offs[k + 1]]
+            n_k = sa.partitions[k].nsites
+            assert blk.sum() % n_k == 0
+            tot += blk.sum() // n_k
+        assert tot == K
+    with pytest.raises(ValueError):
+        sa.bootstrap_pattern_weights(rng, spec="BOGUS")
+
+
+def test_topology_unlinked_analysis(tmp_path):
+    """-S: one independent tree per locus (PhyloSuperTreeUnlinked analog).
+    Fixed-topology per-locus fits must sum to the reported total."""
+    import dataclasses
+    from iqtree2_tpu.params import Params
+    from iqtree2_tpu.partition_analysis import \
+        run_unlinked_topology_analysis
+    pr = Params()
+    pr.aln_file = f"{GOLDEN}/example.phy"
+    pr.partition_file = f"{GOLDEN}/example.nex"
+    pr.user_tree = f"{GOLDEN}/ref_tree.nwk"
+    pr.model = "HKY"
+    pr.out_prefix = str(tmp_path / "unlinked")
+    pr.verbose = 0
+    pr.no_checkpoint = True
+    res = run_unlinked_topology_analysis(pr)
+    assert len(res["trees"]) == 3
+    assert res["logL"] == pytest.approx(
+        sum(r["logL"] for r in res["table"]))
+    tf = (tmp_path / "unlinked.treefile").read_text().strip().splitlines()
+    assert len(tf) == 3
+    assert (tmp_path / "unlinked.partlh").exists()
