@@ -170,6 +170,53 @@ def time_blen_opt(eng, tree, n_rounds=10):
     return time.perf_counter() - t0, logL
 
 
+def bench_search_wall():
+    """Wall-clock to ML tree on the flagship config (BASELINE.md metric:
+    example.phy 17 taxa x 1998 sites, GTR+G, full stochastic search with
+    default iteration counts + final model refit). The reference binary is
+    absent from this round's image; round-3 measured it at seconds on the
+    2-core host."""
+    import dataclasses
+    import tempfile
+
+    from iqtree2_tpu.analysis import run_analysis
+    from iqtree2_tpu.params import Params
+
+    with tempfile.TemporaryDirectory() as td:
+        pr = Params()
+        pr.aln_file = str(REPO / "tests" / "golden" / "example.phy")
+        pr.model = "GTR+G"
+        pr.seed = 42
+        pr.out_prefix = f"{td}/search"
+        pr.verbose = 0
+        pr.no_checkpoint = True
+        t0 = time.perf_counter()
+        res = run_analysis(pr)
+        wall = time.perf_counter() - t0
+    return wall, float(res["logL"])
+
+
+def bench_mfp_wall():
+    """ModelFinder (-m MF) wall on example.phy (round-3 VERDICT ask #8)."""
+    import tempfile
+
+    from iqtree2_tpu.analysis import run_analysis
+    from iqtree2_tpu.params import Params
+
+    with tempfile.TemporaryDirectory() as td:
+        pr = Params()
+        pr.aln_file = str(REPO / "tests" / "golden" / "example.phy")
+        pr.model = "MF"
+        pr.seed = 42
+        pr.out_prefix = f"{td}/mf"
+        pr.verbose = 0
+        pr.no_checkpoint = True
+        t0 = time.perf_counter()
+        res = run_analysis(pr)
+        wall = time.perf_counter() - t0
+    return wall, res["model_selection"]["best"]
+
+
 def bench_reference():
     """Reference binary: fixed-topology branch+model optimization wall."""
     if not REF_BIN.exists():
@@ -197,6 +244,9 @@ def bench_reference():
 
 
 def main():
+    import jax
+    # x64 available (not default): model fits run float64 like the CLI
+    jax.config.update("jax_enable_x64", True)
     eng, tree = make_problem()
     sec_per_eval, logL, sched, sec_dispatch = time_loglik(eng, tree)
     n_edges = sched.n_edges
@@ -217,6 +267,19 @@ def main():
     sec_1000, logL_1000, _, _ = time_loglik(eng2, tree2, n_evals=8,
                                             chain=64)
     opt1000_wall, opt1000_logL = time_blen_opt(eng2, tree2, n_rounds=10)
+
+    # flagship end-to-end walls (BASELINE.md "wall-clock to ML tree")
+    search_wall = search_logL = mfp_wall = None
+    mfp_best = ""
+    if os.environ.get("BENCH_SKIP_E2E") != "1":
+        try:
+            search_wall, search_logL = bench_search_wall()
+        except Exception as e:       # noqa: BLE001 — bench must not die
+            print(f"# search bench failed: {e}", file=sys.stderr)
+        try:
+            mfp_wall, mfp_best = bench_mfp_wall()
+        except Exception as e:       # noqa: BLE001
+            print(f"# MF bench failed: {e}", file=sys.stderr)
 
     baseline = None
     if BASELINE_FILE.exists():
@@ -255,6 +318,11 @@ def main():
             "logL_1000taxa": logL_1000,
             "blen_opt_1000taxa_wall_s": round(opt1000_wall, 3),
             "blen_opt_1000taxa_logL": opt1000_logL,
+            "wall_to_ml_tree_s": (round(search_wall, 2)
+                                  if search_wall else None),
+            "search_logL": search_logL,
+            "mf_wall_s": round(mfp_wall, 2) if mfp_wall else None,
+            "mf_best_model": mfp_best,
             "vs_baseline_64core_est": round(vs64, 3) if vs64 else None,
             "baseline_task": "fixed-topology branch-length optimization "
                              "wall vs reference binary on this host",

@@ -95,6 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--root-test", dest="root_test", action="store_true",
                    help="evaluate every branch as a root position "
                         "(nonreversible models; doRootTest + rootstrap)")
+    p.add_argument("--symtest-remove-bad", dest="symtest_remove_bad",
+                   action="store_true",
+                   help="drop partitions failing the symmetry test "
+                        "(reference: main/phyloanalysis.cpp:3920)")
+    p.add_argument("--symtest-pval", dest="symtest_pval", type=float,
+                   default=0.05, help="symmetry-test p-value cutoff")
     p.add_argument("--symtest", dest="symtest", action="store_true",
                    help="matched-pairs symmetry tests (doSymTest)")
     p.add_argument("-blfix", dest="fix_branch_lengths",

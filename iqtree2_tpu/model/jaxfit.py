@@ -155,7 +155,10 @@ class FitSpec:
         return len(self.x0)
 
     def struct_key(self):
-        return (self.S, self.C, self.nr, self.rate_kind, self.has_pinv,
+        # has_pinv is intentionally NOT part of the compile key: it rides
+        # as a dynamic 0/1 flag so ModelFinder's whole {,+I,+G,+I+G} grid
+        # shares at most one compile per category count
+        return (self.S, self.C, self.nr, self.rate_kind,
                 self.median, self.k)
 
 
@@ -212,15 +215,14 @@ def build_spec(model, rates, fix_model: bool = False,
 
     # --- rate heterogeneity ---------------------------------------------
     median = bool(getattr(rates, "median", False))
-    if t in (RateGamma, RateGammaInvar):
-        rate_kind = "gamma"
-        C = rates.ncat
-    elif t in (RateFree, RateFreeInvar):
+    if t in (RateFree, RateFreeInvar):
         rate_kind = "free"
         C = rates.ncat
     else:
-        rate_kind = "none"
-        C = 1
+        # "gamma" covers plain/+I too (C=1 Gamma is the identity), so the
+        # whole TEST rate grid shares compiles
+        rate_kind = "gamma"
+        C = rates.ncat
 
     p_inv = float(rates.p_invar)
     free_pinv = ((t is RateInvar and not getattr(rates, "fix_pinv", False))
@@ -229,12 +231,13 @@ def build_spec(model, rates, fix_model: bool = False,
     free_pinv = free_pinv and not fix_rates
     has_pinv = bool(p_inv > 0 or free_pinv)
 
-    xa0 = np.zeros(0)
-    mask_a = np.zeros(0)
-    if rate_kind == "gamma":
-        xa0 = np.array([np.log(np.clip(rates.alpha, 0.02, 100.0))])
-        mask_a = np.array(
-            [0.0 if (rates.fix_alpha or fix_rates) else 1.0])
+    # alpha/pinv slots always exist (masked when absent) so restricted
+    # rate models reuse the same compiled structure
+    alpha0 = float(np.clip(getattr(rates, "alpha", 1.0), 0.02, 100.0))
+    xa0 = np.array([np.log(alpha0)])
+    afree = (rate_kind == "gamma" and C > 1
+             and not getattr(rates, "fix_alpha", True) and not fix_rates)
+    mask_a = np.array([1.0 if afree else 0.0])
     xc0 = np.zeros(0)
     xw0 = np.zeros(0)
     mask_c = np.zeros(0)
@@ -247,11 +250,9 @@ def build_spec(model, rates, fix_model: bool = False,
         fr = 0.0 if (rates.fix_rates or fix_rates) else 1.0
         mask_c = np.full(C, fr)
         mask_w = np.full(C - 1, fr)
-    xp0 = np.zeros(0)
-    mask_p = np.zeros(0)
-    if has_pinv:
-        xp0 = np.array([_logit(np.clip(p_inv, 1e-4, 0.99))])
-        mask_p = np.array([1.0 if free_pinv else 0.0])
+    xp0 = np.array([_logit(np.clip(p_inv if p_inv > 0 else 0.1,
+                                   1e-4, 0.99))])
+    mask_p = np.array([1.0 if free_pinv else 0.0])
 
     segs = {}
     off = 0
@@ -267,9 +268,9 @@ def build_spec(model, rates, fix_model: bool = False,
                    x0=x0, mask=mask, model=model, rates=rates, seg=segs)
 
 
-def _unpack(x, spec: FitSpec, Cmat, ref_mask):
+def _unpack(x, spec: FitSpec, Cmat, ref_mask, pinv_flag):
     """x (already mask-frozen) -> (exch [nr], freqs [S], cat_rate [C],
-    cat_weight [C], p_inv scalar)."""
+    cat_weight [C], p_inv scalar). pinv_flag: dynamic 0/1 (+I present)."""
     def seg(name):
         a, b = spec.seg[name]
         return x[a:b]
@@ -278,10 +279,7 @@ def _unpack(x, spec: FitSpec, Cmat, ref_mask):
     uf = jnp.concatenate([seg("f"), jnp.zeros((1,), x.dtype)])
     freqs = jax.nn.softmax(jnp.clip(uf, -30.0, 30.0))
 
-    if spec.has_pinv:
-        p_inv = jax.nn.sigmoid(seg("p")[0]) * 0.9999
-    else:
-        p_inv = jnp.asarray(0.0, x.dtype)
+    p_inv = jax.nn.sigmoid(seg("p")[0]) * 0.9999 * pinv_flag
 
     if spec.rate_kind == "gamma":
         alpha = jnp.exp(jnp.clip(seg("a")[0], float(np.log(0.02)),
@@ -340,7 +338,14 @@ def _down_pass_unrolled(P, tipP, sched, n_steps: int, dtype):
         eids = child_edge[nid_c]
         src = ALL[src_idx]                          # [G, 2, C, S, Pp]
         Pe = P[eids]
-        msg = jnp.einsum("gkcxy,gkcyp->gkcxp", Pe, src, precision=HIGHEST)
+        # merged batch dims: the 4-batch-dim form ("gkcxy,gkcyp->gkcxp")
+        # trips an XLA hlo-verifier bug when this graph is vmapped
+        # (batched ModelFinder screening)
+        Gs = src.shape[0]
+        msg = jnp.einsum(
+            "bxy,byp->bxp", Pe.reshape(-1, S, S),
+            src.reshape(-1, S, Pp),
+            precision=HIGHEST).reshape(Gs, 2, C, S, Pp)
         prod = msg[:, 0] * msg[:, 1]
         sc = SC[src_idx[:, 0]] + SC[src_idx[:, 1]]
         mx = prod.max(axis=(1, 2))
@@ -359,7 +364,8 @@ def _loglik(x, log_t, spec: FitSpec, consts):
     dtype = log_t.dtype
     Cmat = consts["Cmat"]
     ref_mask = consts["ref_mask"]
-    exch, freqs, cat_r, cat_w, p_inv = _unpack(x, spec, Cmat, ref_mask)
+    exch, freqs, cat_r, cat_w, p_inv = _unpack(x, spec, Cmat, ref_mask,
+                                               consts["pinv_flag"])
     Q = _gtr_q(exch, freqs, consts["iu"])
 
     t = jnp.exp(jnp.clip(log_t, float(np.log(1e-7)),
@@ -387,31 +393,22 @@ def _loglik(x, log_t, spec: FitSpec, consts):
     tiny = jnp.finfo(dtype).tiny
     lp = jnp.log(jnp.maximum(site, tiny)) \
         - SCroot * jnp.asarray(log_rescale, dtype)
-    if spec.has_pinv:
-        cmf = consts["cmf_raw"] @ freqs                # [Pp]
-        is_const = consts["is_const"]
-        safe = jnp.where(is_const, jnp.maximum(cmf, tiny), 1.0)
-        lpi = jnp.where(is_const,
-                        jnp.log(jnp.maximum(p_inv, tiny)) + jnp.log(safe),
-                        -jnp.inf)
-        lp = jnp.logaddexp(lp, lpi)
+    cmf = consts["cmf_raw"] @ freqs                    # [Pp]
+    use = consts["is_const"] & (consts["pinv_flag"] > 0)
+    safe = jnp.where(use, jnp.maximum(cmf, tiny), 1.0)
+    lpi = jnp.where(use,
+                    jnp.log(jnp.maximum(p_inv, tiny)) + jnp.log(safe),
+                    -jnp.inf)
+    lp = jnp.logaddexp(lp, lpi)
     return jnp.sum(consts["pw"] * lp)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("spec_key", "n_steps", "k", "E"))
-def _fit_jit(x0, logt0, mask, Cmat, ref_mask, iu0, iu1, tipP, sched, pw,
-             cmf_raw, is_const, max_iters, gtol,
-             spec_key=None, n_steps=None, k=None, E=None):
-    """One-dispatch joint L-BFGS fit. Returns (x, log_t, logL, n_iter)."""
+def _fit_core(x0, logt0, mask, consts, spec, max_iters, gtol, k: int,
+              dtype):
+    """In-graph joint L-BFGS fit. Returns (x, log_t, logL, n_iter)."""
     import optax
     import optax.tree_utils as otu
 
-    spec = _SPECS[spec_key]
-    dtype = tipP.dtype
-    consts = dict(Cmat=Cmat, ref_mask=ref_mask, iu=(iu0, iu1), tipP=tipP,
-                  sched=sched, pw=pw, cmf_raw=cmf_raw, is_const=is_const,
-                  n_steps=n_steps)
     x0 = x0.astype(dtype)
     mask = mask.astype(dtype)          # [k + E]: params then log-blens
     z0 = jnp.concatenate([x0, logt0.astype(dtype)])
@@ -447,6 +444,40 @@ def _fit_jit(x0, logt0, mask, Cmat, ref_mask, iu0, iu1, tipP, sched, pw,
     return zz[:k], zz[k:], logL, otu.tree_get(state, "count")
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("spec_key", "n_steps", "k", "E"))
+def _fit_jit(x0, logt0, mask, Cmat, ref_mask, iu0, iu1, tipP, sched, pw,
+             cmf_raw, is_const, pinv_flag, max_iters, gtol,
+             spec_key=None, n_steps=None, k=None, E=None):
+    spec = _SPECS[spec_key]
+    consts = dict(Cmat=Cmat, ref_mask=ref_mask, iu=(iu0, iu1), tipP=tipP,
+                  sched=sched, pw=pw, cmf_raw=cmf_raw, is_const=is_const,
+                  pinv_flag=pinv_flag, n_steps=n_steps)
+    return _fit_core(x0, logt0, mask, consts, spec, max_iters, gtol, k,
+                     tipP.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec_key", "n_steps", "k", "E"))
+def _fit_batch_jit(x0B, logt0, maskB, CmatB, refB, iu0, iu1, tipP, sched,
+                   pw, cmf_raw, is_const, flagB, max_iters, gtol,
+                   spec_key=None, n_steps=None, k=None, E=None):
+    """Vmapped joint fit of B same-structure candidates in ONE dispatch
+    (ModelFinder's whole restricted-model grid per category count; the
+    batched while_loop runs to the slowest candidate's convergence)."""
+    spec = _SPECS[spec_key]
+    dtype = tipP.dtype
+
+    def one(x0, mask, Cmat, ref_mask, flag):
+        consts = dict(Cmat=Cmat, ref_mask=ref_mask, iu=(iu0, iu1),
+                      tipP=tipP, sched=sched, pw=pw, cmf_raw=cmf_raw,
+                      is_const=is_const, pinv_flag=flag, n_steps=n_steps)
+        return _fit_core(x0, logt0, mask, consts, spec, max_iters, gtol,
+                         k, dtype)
+
+    return jax.vmap(one)(x0B, maskB, CmatB, refB, flagB)
+
+
 # static spec registry keyed by structure (jit static arg can't be a
 # dataclass with arrays; the arrays travel as dynamic args)
 _SPECS: dict = {}
@@ -472,12 +503,9 @@ def _writeback(spec: FitSpec, x: np.ndarray) -> None:
     if spec.has_pinv:
         p_inv = float(1.0 / (1.0 + np.exp(-seg("p")[0])) * 0.9999)
     if spec.rate_kind == "gamma":
-        if not rates.fix_alpha and spec.mask[spec.seg["a"][0]]:
+        if spec.mask[spec.seg["a"][0]]:
             rates.alpha = float(np.exp(seg("a")[0]))
-        if isinstance(rates, RateGammaInvar):
-            if not getattr(rates, "fix_pinv", False):
-                rates._p_invar = p_inv
-        elif spec.has_pinv:
+        if spec.mask[spec.seg["p"][0]]:
             rates._p_invar = p_inv
     elif spec.rate_kind == "free":
         if not rates.fix_rates and np.any(spec.mask[slice(*spec.seg["c"])]):
@@ -488,11 +516,101 @@ def _writeback(spec: FitSpec, x: np.ndarray) -> None:
             rates.weights = w
             rates.rates = raw / (w * raw).sum()
             rates.normalize()
-        if isinstance(rates, RateFreeInvar) and \
-                not getattr(rates, "fix_pinv", False):
+        if spec.mask[spec.seg["p"][0]]:
             rates._p_invar = p_inv
-    elif type(rates) is RateInvar and not rates.fix_pinv:
-        rates._p_invar = p_inv
+
+
+def try_fit_batch(eng, tree, pairs, epsilon: float = 0.1,
+                  dtype=None) -> list[float] | None:
+    """Fit B same-structure (model, rates) candidates jointly in ONE
+    vmapped L-BFGS dispatch on a fixed topology (ModelFinder screening).
+
+    eng: any LikelihoodEngine on the target alignment (supplies tip
+    codes/weights; all candidates share its tip table). Mutates every
+    pair's host objects in place; returns per-candidate logLs, or None
+    when the pairs don't share one compiled structure.
+    """
+    from iqtree2_tpu.engine import LikelihoodEngine
+    if type(eng) is not LikelihoodEngine or eng.asc or not pairs:
+        return None
+    specs = [build_spec(m, r) for m, r in pairs]
+    if any(sp is None for sp in specs):
+        return None
+    key0 = specs[0].struct_key()
+    if any(sp.struct_key() != key0 for sp in specs[1:]):
+        return None
+
+    from iqtree2_tpu.tree.schedule import build_schedule
+    sched = build_schedule(tree)
+    n_int = sched.child_src.shape[0]
+    Pp = eng.Pp
+    spec = specs[0]
+    B = len(specs)
+    if B * n_int * spec.C * spec.S * Pp > 4 * MAX_REVERSE_ELEMENTS:
+        return None
+    if dtype is None:
+        dtype = jnp.float32 if epsilon >= 0.05 or             not jax.config.jax_enable_x64 else jnp.float64
+    dtype = jnp.dtype(dtype)
+
+    import contextlib
+    import os as _os
+    ctx = contextlib.nullcontext()
+    if _os.environ.get("IQTREE2_TPU_FIT_DEVICE", "cpu") == "cpu" and \
+            jax.default_backend() != "cpu":
+        try:
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        except Exception:
+            pass
+    with ctx:
+        pk = eng.pack_np
+        tip_table = jnp.asarray(pk.tip_table, dtype)
+        tipP = jnp.swapaxes(tip_table[jnp.asarray(eng.tip_codes)], 1, 2)
+        pw = jnp.asarray(eng.pattern_weights, dtype)
+        P_real = eng.aln.num_patterns
+        cm = np.zeros((Pp, spec.S))
+        cm[:P_real] = eng.aln.const_state_mask()
+        is_const = jnp.asarray(cm.sum(1) > 0)
+        cmf_raw = jnp.asarray(cm, dtype)
+        iu = np.triu_indices(spec.S, 1)
+        dev_sched = {kk: jnp.asarray(v)
+                     for kk, v in sched.to_device_arrays().items()
+                     if kk in ("child_src", "child_edge", "step_node",
+                               "edge_src")}
+        n_steps = int(sched.step_node.shape[0])
+        blens = np.clip(sched.blens, 1e-6, 10.0)
+        logt0 = jnp.asarray(np.log(blens), dtype)
+
+        key = key0 + ("batch",)
+        _SPECS[key] = spec
+        max_iters = 400 if epsilon < 0.05 else 30
+        gtol = 0.05 if epsilon >= 0.05 else 1e-4
+        if dtype == jnp.float32:
+            gtol = max(gtol, 1e-2)
+        x0B = jnp.asarray(np.stack([sp.x0 for sp in specs]))
+        maskB = jnp.asarray(np.stack([
+            np.concatenate([sp.mask, np.ones(len(blens))])
+            for sp in specs]))
+        CmatB = jnp.asarray(np.stack([sp.Cmat for sp in specs]), dtype)
+        refB = jnp.asarray(np.stack([sp.ref_mask for sp in specs]), dtype)
+        flagB = jnp.asarray(
+            np.array([1.0 if sp.has_pinv else 0.0 for sp in specs]),
+            dtype)
+        xB, logtB, logLB, _ = _fit_batch_jit(
+            x0B, logt0, maskB, CmatB, refB,
+            jnp.asarray(iu[0]), jnp.asarray(iu[1]),
+            tipP, dev_sched, pw, cmf_raw, is_const, flagB,
+            jnp.asarray(max_iters), jnp.asarray(gtol, dtype),
+            spec_key=key, n_steps=n_steps, k=spec.k, E=len(blens))
+    out = []
+    xB = np.asarray(xB, np.float64)
+    logLB = np.asarray(logLB, np.float64)
+    for i, sp in enumerate(specs):
+        if np.isfinite(logLB[i]):
+            _writeback(sp, xB[i])
+            out.append(float(logLB[i]))
+        else:
+            out.append(float("nan"))
+    return out
 
 
 def try_fit(eng, tree, fix_model: bool = False, fix_rates: bool = False,
@@ -522,7 +640,12 @@ def try_fit(eng, tree, fix_model: bool = False, fix_rates: bool = False,
         return None
 
     if dtype is None:
-        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        # thorough fits (final refit, fixed-topology runs) get float64;
+        # screening fits (ModelFinder / search init, epsilon >= 0.05) are
+        # ~2-4x faster in float32 and exact gradients keep them within
+        # ~0.05 logL — far below any BIC selection gap
+        want64 = jax.config.jax_enable_x64 and epsilon < 0.05
+        dtype = jnp.float64 if want64 else jnp.float32
     dtype = jnp.dtype(dtype)
 
     # The L-BFGS graph (zoom linesearch inside while_loop) is large and
@@ -576,8 +699,10 @@ def _run_fit(eng, tree, sched, spec, dtype, fix_model, fix_rates,
 
     key = spec.struct_key() + (bool(fix_model), bool(fix_rates))
     _SPECS[key] = spec
-    max_iters = 400 if epsilon < 0.05 else 120
-    gtol = 1e-4 if epsilon < 0.05 else 1e-2
+    # quick mode (model screening): L-BFGS converges the logL to well
+    # under the selection granularity long before the gradient flattens
+    max_iters = 400 if epsilon < 0.05 else 25
+    gtol = 1e-4 if epsilon < 0.05 else 0.05
     if dtype == jnp.float32:
         gtol = max(gtol, 1e-2)
 
@@ -586,6 +711,7 @@ def _run_fit(eng, tree, sched, spec, dtype, fix_model, fix_rates,
         jnp.asarray(spec.Cmat, dtype), jnp.asarray(spec.ref_mask, dtype),
         jnp.asarray(iu[0]), jnp.asarray(iu[1]),
         tipP, dev_sched, pw, cmf_raw, is_const,
+        jnp.asarray(1.0 if spec.has_pinv else 0.0, dtype),
         jnp.asarray(max_iters), jnp.asarray(gtol, dtype),
         spec_key=key, n_steps=n_steps, k=spec.k, E=len(blens))
     logL = float(logL)

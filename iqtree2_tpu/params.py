@@ -42,6 +42,8 @@ class Params:
     bnni: bool = False                # -bnni (refine UFBoot trees)
     write_ml_rate: bool = False       # --mlrate (per-site ML rates)
     symtest: bool = False             # --symtest
+    symtest_remove_bad: bool = False  # --symtest-remove-bad
+    symtest_pval: float = 0.05        # --symtest-pval
     root_test: bool = False           # --root-test (root position test)
     merge_algorithm: str = "greedy"   # --merge greedy|kmeans
     mset: str = ""                    # -mset (restrict base models)

@@ -384,6 +384,28 @@ def run_partition_analysis(params: Params) -> dict:
         f"{sa.n_partitions} partitions "
         f"({', '.join(sa.part_names)})")
 
+    if params.symtest or params.symtest_remove_bad:
+        from iqtree2_tpu.symtest import run_symtest, write_symtest_csv
+        results = [(name, run_symtest(p))
+                   for p, name in zip(sa.partitions, sa.part_names)]
+        write_symtest_csv(f"{prefix}.symtest.csv", results)
+        log(f"Symmetry tests written to {prefix}.symtest.csv")
+        if params.symtest_remove_bad:
+            # reference: --symtest-remove-bad drops partitions whose
+            # (max-divergence) Bowker test rejects stationarity
+            # (main/phyloanalysis.cpp:3920)
+            keep = [i for i, (_, r) in enumerate(results)
+                    if r.p_bowker >= params.symtest_pval]
+            dropped = [sa.part_names[i] for i in range(sa.n_partitions)
+                       if i not in set(keep)]
+            if dropped:
+                if not keep:
+                    raise SystemExit("--symtest-remove-bad would drop "
+                                     "every partition")
+                log(f"--symtest-remove-bad: dropping "
+                    f"{len(dropped)} partition(s): {', '.join(dropped)}")
+                sa = sa.subset_partitions(keep)
+
     # ------------------ per-partition models ------------------------------
     mup = params.model.upper()
     mf_table = None

@@ -15,6 +15,10 @@ REPO = Path(__file__).parent.parent
 def test_two_rank_cli_search_agrees(tmp_path):
     env = dict(os.environ)
     env["IQTREE2_TPU_PLATFORM"] = "cpu"
+    # own cache dir: executables serialized under the
+    # subprocess backend config abort when deserialized
+    # by the 8-device in-process suite
+    env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "jaxcache")
     env["PYTHONPATH"] = os.pathsep.join(
         [str(REPO)] + env.get("PYTHONPATH", "").split(os.pathsep))
     gdir = tmp_path / "gossip"

@@ -26,6 +26,10 @@ REPO = Path(__file__).parent.parent
 def _run_cli(tmp_path, extra_args):
     env = dict(os.environ)
     env["IQTREE2_TPU_PLATFORM"] = "cpu"
+    # own cache dir: executables serialized under the
+    # subprocess backend config abort when deserialized
+    # by the 8-device in-process suite
+    env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "jaxcache")
     env["PYTHONPATH"] = os.pathsep.join(
         [str(REPO)] + env.get("PYTHONPATH", "").split(os.pathsep))
     # no JAX_ENABLE_X64, no conftest: the CLI must set up numerics itself

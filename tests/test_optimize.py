@@ -70,3 +70,27 @@ def test_nni_search_from_bionj(example_aln, golden):
     # model params (kappa, freqs) still at empirical init; optimize them
     logL = optimize_model_parameters(eng, t, epsilon=0.01)
     assert logL >= golden["logL"]["g0_search"] - 1.0
+
+
+def test_jaxfit_batch_matches_sequential(example_aln, ref_tree):
+    """try_fit_batch (vmapped multi-model screening) must agree with
+    per-model try_fit on the same topology."""
+    import jax.numpy as jnp
+    from iqtree2_tpu.engine import LikelihoodEngine
+    from iqtree2_tpu.model import jaxfit
+    from iqtree2_tpu.model.factory import build_model
+
+    names = ["HKY+G", "K2P+G", "TN+G"]
+    pairs = [build_model(n, example_aln)[:2] for n in names]
+    eng0 = LikelihoodEngine(example_aln, pairs[0][0], pairs[0][1],
+                            dtype=jnp.float32)
+    batched = jaxfit.try_fit_batch(eng0, ref_tree.copy(), pairs,
+                                   epsilon=0.1, dtype=jnp.float64)
+    assert batched is not None and len(batched) == 3
+    for name, got in zip(names, batched):
+        model, rates, _ = build_model(name, example_aln)
+        eng = LikelihoodEngine(example_aln, model, rates,
+                               dtype=jnp.float64)
+        ref = jaxfit.try_fit(eng, ref_tree.copy(), epsilon=0.1,
+                             dtype=jnp.float64)
+        assert got == pytest.approx(ref, abs=1.0), name
