@@ -244,9 +244,9 @@ def bench_reference():
 
 
 def main():
-    import jax
-    # x64 available (not default): model fits run float64 like the CLI
-    jax.config.update("jax_enable_x64", True)
+    # NOTE: global x64 stays OFF (it taints the f32 Pallas kernels with
+    # weak-int64 and SIGABRTs the TPU compiler); float64 model fits scope
+    # x64 themselves (model/jaxfit.py)
     eng, tree = make_problem()
     sec_per_eval, logL, sched, sec_dispatch = time_loglik(eng, tree)
     n_edges = sched.n_edges

@@ -221,9 +221,22 @@ def main(argv=None) -> int:
     plat = os.environ.get("IQTREE2_TPU_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
-    jax.config.update("jax_enable_x64", True)
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        # persistent compile cache: kernel shapes recur across runs and
+        # remote TPU compiles cost 20-40 s each
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/jax_cache")
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
     if pr.use_f64:
-        assert jax.config.jax_enable_x64
+        # parity mode: everything float64 (disables the f32 TPU kernels).
+        # Default runs keep global x64 OFF — the f32 Pallas kernels trace
+        # weak-int64 indices otherwise and SIGABRT the TPU compiler; the
+        # float64 model fits scope x64 themselves (model/jaxfit.py).
+        jax.config.update("jax_enable_x64", True)
     if args.alisim:
         from iqtree2_tpu.simulator import run_alisim
         run_alisim(pr)

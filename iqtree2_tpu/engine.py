@@ -229,6 +229,54 @@ HIGHEST_P = jax.lax.Precision.HIGHEST
 
 
 @jax.jit
+def _pack_flat(arrs):
+    dt = jnp.result_type(*[a.dtype for a in arrs])
+    return jnp.concatenate([a.reshape(-1).astype(dt) for a in arrs])
+
+
+@functools.partial(jax.jit, static_argnames=("shapes", "tip_idx", "tsp"))
+def _unpack_ints(flat, tipP, shapes=None, tip_idx=None, tsp=None):
+    """Split ONE uploaded int32 buffer into the schedule/plan arrays and
+    (for the v2 plan) gather the per-topology tip streams in the same
+    program.
+
+    Each host->device transfer / dispatch is a separate tunnel RPC
+    (~tens of ms of latency); a topology's ~20 plan arrays and its tip
+    streams ride one upload + one execution."""
+    out = []
+    off = 0
+    for shp in shapes:
+        n = int(np.prod(shp)) if len(shp) else 1
+        out.append(flat[off:off + n].reshape(shp))
+        off += n
+    tips = None
+    if tip_idx is not None:
+        from iqtree2_tpu.ops.pallas_pruning2 import build_tip_streams
+        tips = build_tip_streams(tipP, out[tip_idx], tsp)
+    return tuple(out), tips
+
+
+def _pull(out):
+    """ONE blocking device->host fetch for a tuple of device arrays.
+
+    The remote-execute tunnel charges the full round-trip latency
+    (~87 ms measured) PER blocking conversion, independent of size;
+    concatenating in-graph and fetching once makes every engine call a
+    single synchronization (round-4 search profile: 2279 blocking pulls
+    = 199 s of a 234 s search)."""
+    if not isinstance(out, (tuple, list)):
+        return np.asarray(out)
+    flat = np.asarray(_pack_flat(tuple(out)))
+    res = []
+    off = 0
+    for a in out:
+        n = int(np.prod(a.shape)) if a.ndim else 1
+        res.append(flat[off:off + n].reshape(a.shape))
+        off += n
+    return tuple(res)
+
+
+@jax.jit
 def _asr_jit(blens, tipP, sched, pack, pattern_weights):
     """Marginal ancestral-state posteriors at every internal node, plus the
     per-pattern rate-category posterior at the root.
@@ -254,6 +302,46 @@ def _asr_jit(blens, tipP, sched, pack, pattern_weights):
     cat_post = cat_post / jnp.maximum(cat_post.sum(axis=0, keepdims=True),
                                       jnp.finfo(dtype).tiny)
     return post, cat_post
+
+
+@functools.partial(jax.jit, static_argnames=("return_site_lp", "nonrev",
+                                             "nni5"))
+def _nni_batch_flat_jit(cand, blens, tipP, sched, pack, pw, t_min, t_max,
+                        return_site_lp: bool = False, nonrev: bool = False,
+                        nni5: bool = False):
+    """Down+up passes + NNI candidate scoring in ONE program, returning
+    ONE flat array (single upload chain, single blocking pull — each
+    tunnel RPC costs ~40 ms; see _pull)."""
+    from iqtree2_tpu.ops.nni import evaluate_nnis, evaluate_nnis5
+    dtype = tipP.dtype
+    P = pruning.transition_tensors(blens.astype(dtype), pack)
+    dp, up = pruning.both_passes(P, tipP, sched, pack)
+    if nni5:
+        out = evaluate_nnis5(cand, blens, dp, up, sched, pack, pw,
+                             t_min, t_max, return_site_lp=return_site_lp,
+                             nonrev=nonrev)
+    else:
+        out = evaluate_nnis(cand, blens, dp, up.up_in, up.up_scale, sched,
+                            pack, pw, t_min, t_max,
+                            return_site_lp=return_site_lp, nonrev=nonrev)
+    return jnp.concatenate([o.reshape(-1).astype(dtype) for o in out])
+
+
+_OPT_KINDS = {"std": _optimize_blens_jit, "v2": _optimize_blens_v2_jit,
+              "nonrev": _optimize_blens_nonrev_jit}
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "n_rounds",
+                                             "n_newton"))
+def _opt_flat_jit(blens, tipP, sched, pack, pw, t_min, t_max,
+                  kind: str = "std", n_rounds: int = 10,
+                  n_newton: int = 4):
+    """Branch optimization returning concat([new_blens, logL]) — one
+    program, one pull."""
+    fn = _OPT_KINDS[kind]
+    nb, logL = fn(blens, tipP, sched, pack, pw, t_min, t_max,
+                  n_rounds, n_newton)
+    return jnp.concatenate([nb.reshape(-1), logL.reshape(1)])
 
 
 class LikelihoodEngine:
@@ -383,8 +471,13 @@ class LikelihoodEngine:
         hit = cache.get(key)
         if hit is not None:
             return hit
-        d = {k: jnp.asarray(v) for k, v in
-             sched.to_device_arrays().items()}
+        # collect EVERY int array on the host first, ship them as ONE
+        # upload, and split on device (_unpack_ints): per-array uploads
+        # cost a tunnel RPC each and dominated round-4 search wall
+        np_items: list[tuple[str, np.ndarray]] = list(
+            sched.to_device_arrays().items())
+        cfg_shapes: dict[str, tuple] = {}
+        plan = None
         if self._v2_enabled():
             from iqtree2_tpu.tree.plan2 import (build_stream_plan,
                                                 edge_maps, pick_tile,
@@ -397,49 +490,76 @@ class LikelihoodEngine:
             pt = pick_tile(plan, self.Pp)
             if pt is not None:
                 ms, sl = plan.scalar_arrays()
-                d.update(
-                    p2_meta_step=jnp.asarray(ms),
-                    p2_meta_slot=jnp.asarray(sl),
-                    p2_edge=jnp.asarray(plan.edge),
-                    p2_int=jnp.asarray(plan.is_int),
-                    p2_tip=jnp.asarray(plan.tip),
-                    p2_cfg=jnp.zeros((plan.ring_blocks, pt), jnp.int8))
-                # per-topology raw tip streams, gathered ONCE here instead
-                # of per evaluation inside the jitted kernels
-                from iqtree2_tpu.ops.pallas_pruning2 import \
-                    build_tip_streams
-                tsp = _round_up(plan.G * self.aln.num_states, 8)
-                tipA, tipB, tip0 = build_tip_streams(
-                    self._dev_tipP, jnp.asarray(plan.tip), tsp)
-                d.update(p2_tipA=tipA, p2_tipB=tipB, p2_tip0=tip0)
+                np_items += [("p2_meta_step", ms), ("p2_meta_slot", sl),
+                             ("p2_edge", plan.edge),
+                             ("p2_int", plan.is_int),
+                             ("p2_tip", plan.tip)]
+                cfg_shapes["p2_cfg"] = (plan.ring_blocks, pt)
                 ptu = pick_tile_up(plan, self.Pp)
                 pte = pick_tile_export(plan, self.Pp)
                 if ptu is not None and pte is not None:
                     ms_u, sl_u = up_scalar_arrays(plan)
                     (e_step, e_side, e_slot, d_istip, d_tip, d_step,
                      d_slot) = edge_maps(plan, sched)
-                    d.update(
-                        p2u_meta_step=jnp.asarray(ms_u),
-                        p2u_meta_slot=jnp.asarray(sl_u),
-                        p2u_cfg=jnp.zeros((plan.up_ring_blocks, ptu),
-                                          jnp.int8),
-                        p2e_cfg=jnp.zeros((1, pte), jnp.int8),
-                        p2_node_step=jnp.asarray(plan.node_step),
-                        p2_node_slot=jnp.asarray(plan.node_slot),
-                        p2_e_step=jnp.asarray(e_step),
-                        p2_e_side=jnp.asarray(e_side),
-                        p2_e_slot=jnp.asarray(e_slot),
-                        p2u_root_step=jnp.asarray(
-                            int(plan.node_step[sched.n_int - 1])),
-                        p2u_root_slot=jnp.asarray(
-                            int(plan.node_slot[sched.n_int - 1])))
+                    np_items += [
+                        ("p2u_meta_step", ms_u), ("p2u_meta_slot", sl_u),
+                        ("p2_node_step", plan.node_step),
+                        ("p2_node_slot", plan.node_slot),
+                        ("p2_e_step", e_step), ("p2_e_side", e_side),
+                        ("p2_e_slot", e_slot),
+                        ("p2u_root_step", np.asarray(
+                            int(plan.node_step[sched.n_int - 1]),
+                            np.int32)),
+                        ("p2u_root_slot", np.asarray(
+                            int(plan.node_slot[sched.n_int - 1]),
+                            np.int32))]
+                    cfg_shapes["p2u_cfg"] = (plan.up_ring_blocks, ptu)
+                    cfg_shapes["p2e_cfg"] = (1, pte)
                     ptt = pick_tile_theta(plan, self.Pp)
                     if ptt is not None:
-                        d["p2t_cfg"] = jnp.zeros((1, ptt), jnp.int8)
+                        cfg_shapes["p2t_cfg"] = (1, ptt)
+        flat = np.concatenate(
+            [np.asarray(a, np.int32).ravel() for _, a in np_items])
+        shapes = tuple(tuple(np.asarray(a).shape) for _, a in np_items)
+        keys = [k for k, _ in np_items]
+        tip_idx = keys.index("p2_tip") if "p2_tip" in keys else None
+        tsp = (_round_up(plan.G * self.aln.num_states, 8)
+               if tip_idx is not None else None)
+        devs, tips = _unpack_ints(jnp.asarray(flat), self._dev_tipP,
+                                  shapes=shapes, tip_idx=tip_idx, tsp=tsp)
+        d = dict(zip(keys, devs))
+        for k, shp in cfg_shapes.items():
+            # shape-only carriers (content unused by the kernels)
+            d[k] = self._cfg_zeros(shp)
+        if tips is not None:
+            d.update(p2_tipA=tips[0], p2_tipB=tips[1], p2_tip0=tips[2])
         if len(cache) >= 32:     # bound memory: drop the oldest entry
             cache.pop(next(iter(cache)))
         cache[key] = d
         return d
+
+    def _dev_scalar(self, v):
+        """Cached device scalar (t_min/t_max constants would otherwise
+        cost one upload RPC per engine call)."""
+        if not hasattr(self, "_scalar_cache"):
+            self._scalar_cache = {}
+        key = float(v)
+        hit = self._scalar_cache.get(key)
+        if hit is None:
+            hit = jnp.asarray(v, self.dtype)
+            self._scalar_cache[key] = hit
+        return hit
+
+    def _cfg_zeros(self, shp):
+        """Cached int8 zero arrays (shape carriers shared across
+        topologies — no upload, no fresh allocation per tree)."""
+        if not hasattr(self, "_cfg_cache"):
+            self._cfg_cache = {}
+        hit = self._cfg_cache.get(shp)
+        if hit is None:
+            hit = jnp.zeros(shp, jnp.int8)
+            self._cfg_cache[shp] = hit
+        return hit
 
     # ------------------------------------------------------------ main API
     def loglik_tree(self, tree: Tree) -> float:
@@ -456,19 +576,22 @@ class LikelihoodEngine:
     def site_lp(self, tree: Tree) -> tuple[float, np.ndarray]:
         """(logL, per-pattern log-likelihood [num_patterns])."""
         sched = build_schedule(tree)
-        logL, lp = _site_lp_jit(jnp.asarray(sched.blens, self.dtype),
-                                self._dev_tipP,
-                                self.schedule_arrays(sched),
-                                self._dev_pack, self._dev_pw)
-        return float(logL), np.asarray(lp)[: self.aln.num_patterns]
+        logL, lp = _pull(_site_lp_jit(
+            jnp.asarray(sched.blens, self.dtype), self._dev_tipP,
+            self.schedule_arrays(sched), self._dev_pack, self._dev_pw))
+        return float(logL), lp[: self.aln.num_patterns]
 
     def compute_passes(self, sched: TreeSchedule):
-        """(DownPass, UpPass, logL) device buffers for one topology."""
+        """(DownPass, UpPass, logL) device buffers for one topology.
+
+        logL stays ON DEVICE: a host conversion forces a blocking
+        round-trip (~87 ms through the axon tunnel) that NNI evaluation —
+        the main caller — never needs."""
         dp, up, logL = _passes_jit(jnp.asarray(sched.blens, self.dtype),
                                    self._dev_tipP,
                                    self.schedule_arrays(sched),
                                    self._dev_pack, self._dev_pw)
-        return dp, up, float(logL)
+        return dp, up, logL
 
     def ancestral_posteriors(self, tree: Tree):
         """(posteriors [n_int, S, P], postorder internal node ids, sched).
@@ -510,37 +633,28 @@ class LikelihoodEngine:
         and additionally returns t5 [n, 3, 5] optimized lengths for the
         (a, b, c, d, e) branches — for reversible (eigenbasis theta) AND
         nonreversible (direct expm derivative) models."""
-        from iqtree2_tpu.ops.nni import evaluate_nnis, evaluate_nnis5
-        dp, up, _ = self.compute_passes(sched)
-        if nni5:
-            out = evaluate_nnis5(
-                cand_arrays, jnp.asarray(sched.blens, self.dtype),
-                dp, up, self.schedule_arrays(sched),
-                self._dev_pack, self._dev_pw,
-                jnp.asarray(t_min, self.dtype),
-                jnp.asarray(t_max, self.dtype),
-                return_site_lp=return_site_lp,
-                nonrev=self._dev_pack.get("Q") is not None)
-            if return_site_lp:
-                logl, t_e, t5, lp = out
-                return (np.asarray(logl), np.asarray(t_e),
-                        np.asarray(t5),
-                        np.asarray(lp)[:, :, : self.aln.num_patterns])
-            logl, t_e, t5 = out
-            return np.asarray(logl), np.asarray(t_e), np.asarray(t5)
-        out = evaluate_nnis(
+        n = int(cand_arrays.shape[1]) if not isinstance(
+            cand_arrays, (tuple, list)) else len(cand_arrays[0])
+        flat = np.asarray(_nni_batch_flat_jit(
             cand_arrays, jnp.asarray(sched.blens, self.dtype),
-            dp, up.up_in, up.up_scale, self.schedule_arrays(sched),
-            self._dev_pack, self._dev_pw,
-            jnp.asarray(t_min, self.dtype), jnp.asarray(t_max, self.dtype),
+            self._dev_tipP, self.schedule_arrays(sched), self._dev_pack,
+            self._dev_pw, self._dev_scalar(t_min), self._dev_scalar(t_max),
             return_site_lp=return_site_lp,
-            nonrev=self._dev_pack.get("Q") is not None)
+            nonrev=self._dev_pack.get("Q") is not None, nni5=nni5))
+        shapes = [(n, 3), (n, 3)]
+        if nni5:
+            shapes.append((n, 3, 5))
         if return_site_lp:
-            logl, t_opt, lp = out
-            return (np.asarray(logl), np.asarray(t_opt),
-                    np.asarray(lp)[:, :, : self.aln.num_patterns])
-        logl, t_opt = out
-        return np.asarray(logl), np.asarray(t_opt)
+            shapes.append((n, 3, self.Pp))
+        parts = []
+        off = 0
+        for shp in shapes:
+            cnt = int(np.prod(shp))
+            parts.append(flat[off:off + cnt].reshape(shp))
+            off += cnt
+        if return_site_lp:
+            parts[-1] = parts[-1][:, :, : self.aln.num_patterns]
+        return tuple(parts)
 
     def optimize_branches(self, tree: Tree, n_rounds: int = 10,
                           n_newton: int = 4,
@@ -552,19 +666,18 @@ class LikelihoodEngine:
         sa = self.schedule_arrays(sched)
         import os
         if self._dev_pack.get("Q") is not None:
-            opt = _optimize_blens_nonrev_jit
+            kind = "nonrev"
         elif ("p2t_cfg" in sa and "asc_mask" not in self._dev_pack
               and self._dev_pack.get("W") is not None
               and os.environ.get("IQTREE2_TPU_THETA_KERNEL")):
             # fused theta kernel: measured ~on par with the export+XLA
             # path at 64 taxa (round-4 PERF_NOTES); opt-in until it wins
-            opt = _optimize_blens_v2_jit
+            kind = "v2"
         else:
-            opt = _optimize_blens_jit
-        new_blens, logL = opt(
-            blens, self._dev_tipP, self.schedule_arrays(sched),
-            self._dev_pack, self._dev_pw,
-            jnp.asarray(t_min, self.dtype), jnp.asarray(t_max, self.dtype),
-            n_rounds, n_newton)
-        write_blens_to_tree(tree, sched, np.asarray(new_blens, np.float64))
-        return float(logL)
+            kind = "std"
+        flat = np.asarray(_opt_flat_jit(
+            blens, self._dev_tipP, sa, self._dev_pack, self._dev_pw,
+            self._dev_scalar(t_min), self._dev_scalar(t_max),
+            kind=kind, n_rounds=n_rounds, n_newton=n_newton), np.float64)
+        write_blens_to_tree(tree, sched, flat[:-1])
+        return float(flat[-1])

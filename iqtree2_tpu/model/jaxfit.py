@@ -642,10 +642,9 @@ def try_fit(eng, tree, fix_model: bool = False, fix_rates: bool = False,
     if dtype is None:
         # thorough fits (final refit, fixed-topology runs) get float64;
         # screening fits (ModelFinder / search init, epsilon >= 0.05) are
-        # ~2-4x faster in float32 and exact gradients keep them within
+        # faster in float32 and exact gradients keep them within
         # ~0.05 logL — far below any BIC selection gap
-        want64 = jax.config.jax_enable_x64 and epsilon < 0.05
-        dtype = jnp.float64 if want64 else jnp.float32
+        dtype = jnp.float64 if epsilon < 0.05 else jnp.float32
     dtype = jnp.dtype(dtype)
 
     # The L-BFGS graph (zoom linesearch inside while_loop) is large and
@@ -653,16 +652,21 @@ def try_fit(eng, tree, fix_model: bool = False, fix_rates: bool = False,
     # XLA compile alone takes minutes (measured: >7 min hang), while the
     # host CPU fits the flagship config in ~0.3 s warm. Default the fit
     # to the CPU backend; IQTREE2_TPU_FIT_DEVICE=default opts back in.
+    # x64 is SCOPED to the fit (jax.enable_x64): enabling it process-wide
+    # taints the f32 Pallas kernels with weak-int64 indices, which
+    # SIGABRTs the TPU compiler.
     import contextlib
     import os as _os
-    ctx = contextlib.nullcontext()
-    if _os.environ.get("IQTREE2_TPU_FIT_DEVICE", "cpu") == "cpu" and \
-            jax.default_backend() != "cpu":
-        try:
-            ctx = jax.default_device(jax.devices("cpu")[0])
-        except Exception:
-            pass
-    with ctx:
+    with contextlib.ExitStack() as stack:
+        if _os.environ.get("IQTREE2_TPU_FIT_DEVICE", "cpu") == "cpu" and \
+                jax.default_backend() != "cpu":
+            try:
+                stack.enter_context(
+                    jax.default_device(jax.devices("cpu")[0]))
+            except Exception:
+                pass
+        if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            stack.enter_context(jax.enable_x64(True))
         return _run_fit(eng, tree, sched, spec, dtype, fix_model,
                         fix_rates, fix_blens, epsilon)
 

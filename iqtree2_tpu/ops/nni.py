@@ -81,7 +81,7 @@ def evaluate_nnis(cand_arrays, blens, dp: pruning.DownPass, up_in, up_scale,
     edges at once. Returns (logl [n,3], t_opt [n,3]) where column 2 is the
     re-optimized current topology (baseline). With return_site_lp, also
     returns per-pattern log-likelihoods [n, 3, Ppat] (for SH-aLRT RELL)."""
-    iu, iv, slot_c, eid = cand_arrays
+    iu, iv, slot_c, eid = _cand_rows(cand_arrays)
     log_ptn_invar = pack["log_ptn_invar"]
     child_src = sched["child_src"]
     child_edge = sched["child_edge"]
@@ -145,6 +145,15 @@ def evaluate_nnis(cand_arrays, blens, dp: pruning.DownPass, up_in, up_scale,
     return jax.vmap(one)(iu, iv, slot_c, eid)
 
 
+def _cand_rows(cand_arrays):
+    """Accept either the 4-tuple (iu, iv, slot_c, eid) or ONE stacked
+    [4, n] int32 array (a single host->device upload)."""
+    if isinstance(cand_arrays, (tuple, list)):
+        return cand_arrays
+    return (cand_arrays[0], cand_arrays[1], cand_arrays[2],
+            cand_arrays[3])
+
+
 def _transition_one(t, pack):
     """P(t) [C, S, S] for one scalar branch length."""
     return pruning.transition_tensors(t[None], pack)[0]
@@ -180,7 +189,7 @@ def evaluate_nnis5(cand_arrays, blens, dp: pruning.DownPass, up,
     the eigenbasis theta trick (round-3 VERDICT Weak #8: the reference
     applies NNI5 universally, tree/phylotree.cpp:4058).
     """
-    iu, iv, slot_c, eid = cand_arrays
+    iu, iv, slot_c, eid = _cand_rows(cand_arrays)
     log_ptn_invar = pack["log_ptn_invar"]
     child_src = sched["child_src"]
     child_edge = sched["child_edge"]

@@ -106,9 +106,9 @@ def _make_kernel(L: int, n_int: int, pt: int):
             sc = sc + need.astype(jnp.float32)
             all_scr[i] = pr
             sc_scr[i] = sc
-            return 0
+            return jnp.int32(0)
 
-        jax.lax.fori_loop(0, n_int, body, 0)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_int), body, jnp.int32(0))
 
         # root reduction: fold leaf 0's message, weight, log, invariants
         broot = all_scr[n_int - 1]                           # [CS, pt]
@@ -161,9 +161,9 @@ def _make_down_export_kernel(L: int, n_int: int, pt: int):
             sc = sc + need.astype(jnp.float32)
             all_scr[i] = pr
             sc_scr[i] = sc
-            return 0
+            return jnp.int32(0)
 
-        jax.lax.fori_loop(0, n_int, body, 0)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_int), body, jnp.int32(0))
         all_out[...] = all_scr[...]
         sc_out[...] = sc_scr[...]
 
@@ -306,9 +306,9 @@ def _make_up_kernel(L: int, n_int: int, n_edges: int, pt: int):
             us = usc_scr[i]
             do_slot(i, 0, up, us)
             do_slot(i, 1, up, us)
-            return 0
+            return jnp.int32(0)
 
-        jax.lax.fori_loop(0, n_int, body, 0)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_int), body, jnp.int32(0))
         up_out[...] = up_scr[...]
         usc_out[...] = usc_scr[...]
 

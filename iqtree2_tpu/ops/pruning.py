@@ -136,6 +136,11 @@ def _pallas_env_ok(tipP, C: int) -> bool:
         return False
     if tipP.dtype != jnp.float32:
         return False
+    if jax.config.jax_enable_x64:
+        # the v1 whole-tree kernels SIGABRT the TPU compiler when traced
+        # under x64 (weak-int widening inside Mosaic); the v2 streaming
+        # kernel covers every size and is x64-clean
+        return False
     try:
         platform = jax.devices()[0].platform
     except Exception:
@@ -304,6 +309,8 @@ def _pallas_tile(tipP, pack, sched) -> int | None:
         return None
     if tipP.dtype != jnp.float32:
         return None
+    if jax.config.jax_enable_x64:
+        return None                    # see _pallas_env_ok
     try:
         platform = jax.devices()[0].platform
     except Exception:

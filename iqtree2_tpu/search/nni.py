@@ -73,8 +73,8 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
         cand = build_nni_candidates(tree, sched)
         if len(cand.nodes_u) == 0:
             break
-        cand_arrays = (jnp.asarray(cand.iu), jnp.asarray(cand.iv),
-                       jnp.asarray(cand.slot_c), jnp.asarray(cand.edge_id))
+        cand_arrays = jnp.asarray(np.stack(
+            [cand.iu, cand.iv, cand.slot_c, cand.edge_id]))
         t5 = None
         if use5:
             try:

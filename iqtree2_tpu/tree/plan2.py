@@ -42,6 +42,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket_steps(n: int) -> int:
+    """Step-count bucket: power-of-two up to 64, then multiples of 16.
+    Coarse buckets keep the kernel shape IDENTICAL across the many
+    topologies a tree search visits — each new shape costs a 20-40 s
+    remote compile, far more than the padded steps it saves."""
+    if n <= 16:
+        return 16
+    if n <= 64:
+        b = 16
+        while b < n:
+            b *= 2
+        return b
+    return _round_up(n, 16)
+
+
+def _bucket_ring(n: int) -> int:
+    """Ring-block bucket (same rationale as _bucket_steps)."""
+    n = max(n, 2)
+    if n <= 8:
+        return 8
+    if n <= 32:
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+    return _round_up(n, 8)
+
+
 @dataclasses.dataclass
 class StreamPlan:
     """Host arrays driving the v2 streaming kernel (one topology)."""
@@ -128,12 +156,16 @@ def build_stream_plan(sched: TreeSchedule, S: int, C: int,
     CSP = slot_pitch(CS)
     child_src = sched.child_src          # [n_int, 2] unified (tip<L)
     child_edge = sched.child_edge
-    if group is None:
+    import os
+    if group is None and os.environ.get("IQTREE2_TPU_AUTO_GROUP"):
         # Step count is lower-bounded by the internal critical path H, so
         # a G beyond ceil(n_int / H) only pads slots: an unbalanced
         # (caterpillar-ish) tree has ~2 ready nodes per step and G=8
         # would waste 3/4 of every matmul, export row, and ring block.
-        # Power-of-two rounding keeps NNI-move recompiles rare.
+        # OPT-IN: G then depends on the topology's shape, and tree search
+        # visits many topologies — the per-G kernel recompiles through
+        # the remote-compile tunnel cost far more than the padding saved
+        # (measured round 4: flagship search 277 s vs ~130 s).
         depth = np.zeros(n_int, dtype=np.int64)
         for i in range(n_int):           # postorder: children first
             for k in range(2):
@@ -146,6 +178,8 @@ def build_stream_plan(sched: TreeSchedule, S: int, C: int,
         while G < g_need:
             G *= 2
         G = min(G, pick_group(CSP))
+    elif group is None:
+        G = pick_group(CSP)
     else:
         G = group
     R = G * CSP
@@ -163,7 +197,7 @@ def build_stream_plan(sched: TreeSchedule, S: int, C: int,
             step_of_n.astype(np.int64), slot_of_n.astype(np.int64),
             src_blk_n.astype(np.int64), dst_blk_n.astype(np.int64),
             dst_slot_n.astype(np.int64), n_steps_real,
-            _round_up(max(int(ring_raw), 2), 4))
+            _bucket_ring(int(ring_raw)))
 
     # --- phase 1: greedy step schedule, postorder(DFS)-priority ----------
     n_children_left = np.zeros(n_int, dtype=np.int64)
@@ -214,7 +248,7 @@ def build_stream_plan(sched: TreeSchedule, S: int, C: int,
                     heapq.heappush(ready, prio(p))
 
     n_steps_real = len(steps)
-    n_steps = _round_up(n_steps_real, 8)
+    n_steps = _bucket_steps(n_steps_real)
 
     # --- phase 2: ring-block assignment (interval coloring) --------------
     # Block (s, side) is live from its first producer's step to step s.
@@ -255,7 +289,7 @@ def build_stream_plan(sched: TreeSchedule, S: int, C: int,
             next_blk += 1
         blk_of[s, side] = b
         hq.heappush(active, (end, b))
-    ring_blocks = _round_up(max(next_blk, 2), 4)
+    ring_blocks = _bucket_ring(next_blk)
 
     # --- phase 3: flat arrays --------------------------------------------
     src_blk_flat = np.zeros((n_steps_real, 2), dtype=np.int64)
@@ -279,7 +313,7 @@ def _assemble_plan(sched, L, n_int, S, C, CS, CSP, G, R, TS,
     (shared by the Python and native planners)."""
     child_src = sched.child_src
     child_edge = sched.child_edge
-    n_steps = _round_up(n_steps_real, 8)
+    n_steps = _bucket_steps(n_steps_real)
 
     src_blk = np.zeros((n_steps, 2), dtype=np.int32)
     src_blk[:n_steps_real] = blk_of_steps[:n_steps_real]
@@ -373,7 +407,7 @@ def plan_up(plan: StreamPlan) -> StreamPlan:
             next_blk += 1
         blk[s] = b
         hq.heappush(active, (end, b))
-    up_ring_blocks = _round_up(max(next_blk, 2), 4)
+    up_ring_blocks = _bucket_ring(next_blk)
 
     up_dst_row = np.full((n_steps, G, 2), -1, dtype=np.int32)
     up_dst_sc = np.full((n_steps, G, 2), -1, dtype=np.int32)
