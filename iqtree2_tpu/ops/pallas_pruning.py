@@ -31,6 +31,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from iqtree2_tpu.ops.prec import (MM_MODE as MODE, _mm, _mm2, _split_x,
+                                  split_hilo, tip_dtype)
+
 # float32 scaling constants (must match ops/pruning.scaling_consts)
 _THRESH = 2.0 ** -30
 _RESCALE = 2.0 ** 30
@@ -81,16 +84,12 @@ def _make_kernel(L: int, n_int: int, pt: int):
             e = eid_ref[slot_idx]
 
             def leaf():
-                return (jnp.dot(pres_ref[e], tip_ref[s],
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32),
+                return (_mm(pres_ref[e], tip_ref[s], MODE),
                         jnp.zeros((pt,), jnp.float32))
 
             def internal():
                 r = s - L
-                return (jnp.dot(pbd_ref[e], all_scr[r],
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32),
+                return (_mm(pbd_ref[e], all_scr[r], MODE),
                         sc_scr[r])
 
             return jax.lax.cond(s < L, leaf, internal)
@@ -112,9 +111,7 @@ def _make_kernel(L: int, n_int: int, pt: int):
 
         # root reduction: fold leaf 0's message, weight, log, invariants
         broot = all_scr[n_int - 1]                           # [CS, pt]
-        mleaf0 = jnp.dot(pres_ref[0], tip_ref[0],
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)  # [CS, pt]
+        mleaf0 = _mm(pres_ref[0], tip_ref[0], MODE)          # [CS, pt]
         site0 = jnp.sum(wf_ref[:] * broot * mleaf0, axis=0)  # [pt]
         site0 = jnp.maximum(site0, 1e-37)
         lp = jnp.log(site0) - sc_scr[n_int - 1] * _LOG_RESCALE
@@ -136,16 +133,12 @@ def _make_down_export_kernel(L: int, n_int: int, pt: int):
             e = eid_ref[slot_idx]
 
             def leaf():
-                return (jnp.dot(pres_ref[e], tip_ref[s],
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32),
+                return (_mm(pres_ref[e], tip_ref[s], MODE),
                         jnp.zeros((pt,), jnp.float32))
 
             def internal():
                 r = s - L
-                return (jnp.dot(pbd_ref[e], all_scr[r],
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32),
+                return (_mm(pbd_ref[e], all_scr[r], MODE),
                         sc_scr[r])
 
             return jax.lax.cond(s < L, leaf, internal)
@@ -198,9 +191,12 @@ def down_pass_pallas(flat_src, flat_eid, tipS, Pfull, pt: int):
     n_int = flat_src.shape[0] // 2
     n_tiles = Pp // pt
 
-    pres = Pfull.reshape(E, CS, S)
+    tipS = tipS.astype(tip_dtype(MODE))
+    pres = jnp.swapaxes(split_hilo(Pfull.reshape(E, CS, S), MODE), 0, 1)
     eye_c = jnp.eye(C, dtype=Pfull.dtype)
     pbd = jnp.einsum("ecxy,cd->ecxdy", Pfull, eye_c).reshape(E, CS, CS)
+    pbd = jnp.swapaxes(split_hilo(pbd, MODE), 0, 1)
+    K = pbd.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -208,9 +204,9 @@ def down_pass_pallas(flat_src, flat_eid, tipS, Pfull, pt: int):
         in_specs=[
             pl.BlockSpec((L, S, pt), lambda i, *_: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, CS, CS), lambda i, *_: (0, 0, 0),
+            pl.BlockSpec((E, K, CS, CS), lambda i, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, CS, S), lambda i, *_: (0, 0, 0),
+            pl.BlockSpec((E, K, CS, S), lambda i, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -249,11 +245,9 @@ def _make_up_kernel(L: int, n_int: int, n_edges: int, pt: int):
         Outputs: edge outside partials E [n_edges, CS, pt] + scales, node
         outside partials UP [n_int, CS, pt] + scales.
         """
-        HI = jax.lax.Precision.HIGHEST
 
         # root init: UP[root] = root_freqs * msg(leaf 0); E[0] = rf * B_root
-        mleaf0 = jnp.dot(pres_ref[0], tip_ref[0], precision=HI,
-                         preferred_element_type=jnp.float32)
+        mleaf0 = _mm(pres_ref[0], tip_ref[0], MODE)
         up_scr[n_int - 1] = rf_ref[:] * mleaf0
         usc_scr[n_int - 1] = jnp.zeros((pt,), jnp.float32)
         e_out[0] = rf_ref[:] * down_ref[n_int - 1]
@@ -264,14 +258,12 @@ def _make_up_kernel(L: int, n_int: int, n_edges: int, pt: int):
             e = eid_ref[slot_idx]
 
             def leaf():
-                return (jnp.dot(pres_ref[e], tip_ref[s], precision=HI,
-                                preferred_element_type=jnp.float32),
+                return (_mm(pres_ref[e], tip_ref[s], MODE),
                         jnp.zeros((pt,), jnp.float32))
 
             def internal():
                 r = s - L
-                return (jnp.dot(pbd_ref[e], down_ref[r], precision=HI,
-                                preferred_element_type=jnp.float32),
+                return (_mm(pbd_ref[e], down_ref[r], MODE),
                         dsc_ref[r])
 
             return jax.lax.cond(s < L, leaf, internal)
@@ -291,8 +283,7 @@ def _make_up_kernel(L: int, n_int: int, n_edges: int, pt: int):
 
             @pl.when(s >= L)
             def _():
-                upc = jnp.dot(pbdT_ref[e], Ev, precision=HI,
-                              preferred_element_type=jnp.float32)
+                upc = _mm(pbdT_ref[e], Ev, MODE)
                 mx2 = jnp.max(upc, axis=0)
                 need2 = mx2 < _THRESH
                 upc = upc * jnp.where(need2, _RESCALE, 1.0)[None, :]
@@ -331,11 +322,15 @@ def up_pass_pallas(flat_src, flat_eid, tipS, all_int, sc_int, Pfull,
     n_edges = E_
     n_tiles = Pp // pt
 
-    pres = Pfull.reshape(n_edges, CS, S)
+    tipS = tipS.astype(tip_dtype(MODE))
+    pres = jnp.swapaxes(split_hilo(Pfull.reshape(n_edges, CS, S), MODE),
+                        0, 1)
     eye_c = jnp.eye(C, dtype=Pfull.dtype)
-    pbd = jnp.einsum("ecxy,cd->ecxdy", Pfull, eye_c).reshape(
+    pbd0 = jnp.einsum("ecxy,cd->ecxdy", Pfull, eye_c).reshape(
         n_edges, CS, CS)
-    pbdT = jnp.swapaxes(pbd, 1, 2)
+    pbd = jnp.swapaxes(split_hilo(pbd0, MODE), 0, 1)
+    pbdT = jnp.swapaxes(split_hilo(jnp.swapaxes(pbd0, 1, 2), MODE), 0, 1)
+    K = pbd.shape[1]
     down_flat = all_int.reshape(n_int, CS, Pp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -348,11 +343,11 @@ def up_pass_pallas(flat_src, flat_eid, tipS, all_int, sc_int, Pfull,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_int, pt), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_edges, CS, CS), lambda i, *_: (0, 0, 0),
+            pl.BlockSpec((n_edges, K, CS, CS), lambda i, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_edges, CS, CS), lambda i, *_: (0, 0, 0),
+            pl.BlockSpec((n_edges, K, CS, CS), lambda i, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_edges, CS, S), lambda i, *_: (0, 0, 0),
+            pl.BlockSpec((n_edges, K, CS, S), lambda i, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((CS, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -423,10 +418,13 @@ def down_sitelp_pallas(flat_src, flat_eid, tipS, Pfull, wf, log_inv,
     n_int = flat_src.shape[0] // 2
     n_tiles = Pp // pt
 
-    pres = Pfull.reshape(E, CS, S)
+    tipS = tipS.astype(tip_dtype(MODE))
+    pres = jnp.swapaxes(split_hilo(Pfull.reshape(E, CS, S), MODE), 0, 1)
     # block-diagonal [CS, CS]: category blocks on the diagonal
     eye_c = jnp.eye(C, dtype=Pfull.dtype)
     pbd = jnp.einsum("ecxy,cd->ecxdy", Pfull, eye_c).reshape(E, CS, CS)
+    pbd = jnp.swapaxes(split_hilo(pbd, MODE), 0, 1)
+    K = pbd.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -434,9 +432,9 @@ def down_sitelp_pallas(flat_src, flat_eid, tipS, Pfull, wf, log_inv,
         in_specs=[
             pl.BlockSpec((L, S, pt), lambda i, *_: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, CS, CS), lambda i, *_: (0, 0, 0),
+            pl.BlockSpec((E, K, CS, CS), lambda i, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, CS, S), lambda i, *_: (0, 0, 0),
+            pl.BlockSpec((E, K, CS, S), lambda i, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((CS, 1), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),

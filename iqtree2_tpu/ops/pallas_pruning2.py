@@ -37,6 +37,9 @@ from iqtree2_tpu.tree.plan2 import StreamPlan
 _THRESH = 2.0 ** -30
 _RESCALE = 2.0 ** 30
 _LOG_RESCALE = 30.0 * float(np.log(2.0))
+from iqtree2_tpu.ops.prec import (MM_MODE as MODE,       # noqa: E402
+                                  _mm, _mm2, _split_x, split_hilo,
+                                  tip_dtype)
 HI = jax.lax.Precision.HIGHEST
 
 
@@ -76,7 +79,9 @@ def build_ops(P, edge, is_int, tip, L: int, CSP: int):
         tops = jnp.einsum("ngas,gh->ngahs", pres,
                           eyeG).reshape(n_steps, R, G * S)
         tops = jnp.pad(tops, ((0, 0), (0, 0), (0, TSP - G * S)))
-        return ops, tops
+        # [n, K, R, *] hi/lo stacks (K=2 for x3, else 1) — see ops/prec.py
+        return (jnp.swapaxes(split_hilo(ops, MODE), 0, 1),
+                jnp.swapaxes(split_hilo(tops, MODE), 0, 1))
 
     opA, topA = one_side(0)
     opB, topB = one_side(1)
@@ -96,9 +101,11 @@ def build_tip_streams(tipP, tip, TSP: int):
     tp = jnp.concatenate(
         [tipP, jnp.zeros((1, S, Pp), tipP.dtype)], axis=0)
 
+    dt = tip_dtype(MODE)   # 0/1 ambiguity codes: exact in bf16
+
     def side(k):
         t = tp[tip[:, :, k]].reshape(n_steps, G * S, Pp)
-        return jnp.pad(t, ((0, 0), (0, TSP - G * S), (0, 0)))
+        return jnp.pad(t, ((0, 0), (0, TSP - G * S), (0, 0))).astype(dt)
 
     tip0 = jnp.pad(tipP[0], ((0, SP - S), (0, 0)))
     return side(0), side(1), tip0
@@ -148,14 +155,8 @@ def _make_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int,
         blkB = ms_ref[s, 1]
         ra = ring[pl.ds(pl.multiple_of(blkA * R, R), R), :]
         rb = ring[pl.ds(pl.multiple_of(blkB * R, R), R), :]
-        A = jnp.dot(opA[0], ra, precision=HI,
-                    preferred_element_type=jnp.float32) \
-            + jnp.dot(topA[0], tipA[0], precision=HI,
-                      preferred_element_type=jnp.float32)
-        B = jnp.dot(opB[0], rb, precision=HI,
-                    preferred_element_type=jnp.float32) \
-            + jnp.dot(topB[0], tipB[0], precision=HI,
-                      preferred_element_type=jnp.float32)
+        A = _mm(opA[0], ra, MODE) + _mm(topA[0], tipA[0], MODE)
+        B = _mm(opB[0], rb, MODE) + _mm(topB[0], tipB[0], MODE)
         prod = (A * B).reshape(G, CSP, pt)
         mx = jnp.max(prod, axis=1)                     # [G, pt]
         need = (mx < _THRESH).astype(jnp.float32)
@@ -240,9 +241,10 @@ def stream_pass(meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB,
     SP = tip0.shape[0]
     Pp = tipA.shape[2]
     n_tiles = Pp // pt
+    K = opA.shape[1]                   # hi/lo stack depth (x3: 2, else 1)
 
-    def im_step3(i, s, *_):
-        return (s, 0, 0)
+    def im_step4(i, s, *_):
+        return (s, 0, 0, 0)
 
     def im_tile_last(i, s, *_):
         return (s, 0, i)
@@ -250,10 +252,10 @@ def stream_pass(meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB,
     in_specs = [
         pl.BlockSpec((1, TSP, pt), im_tile_last, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TSP, pt), im_tile_last, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, R), im_step3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, R), im_step3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, TSP), im_step3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, TSP), im_step3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, R), im_step4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, R), im_step4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, TSP), im_step4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, TSP), im_step4, memory_space=pltpu.VMEM),
         pl.BlockSpec((CSP, SP), lambda i, s, *_: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((CSP, 1), lambda i, s, *_: (0, 0),
@@ -389,14 +391,8 @@ def _make_up_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int):
         upv = upring[pl.ds(pl.multiple_of(blk * R, R), R), :]
         upsc_rows = upscr[pl.ds(pl.multiple_of(blk * (G * 8), 8),
                                 G * 8), :]
-        msgA = jnp.dot(opA[0], rhsA[0], precision=HI,
-                       preferred_element_type=jnp.float32) \
-            + jnp.dot(topA[0], tipA[0], precision=HI,
-                      preferred_element_type=jnp.float32)
-        msgB = jnp.dot(opB[0], rhsB[0], precision=HI,
-                       preferred_element_type=jnp.float32) \
-            + jnp.dot(topB[0], tipB[0], precision=HI,
-                      preferred_element_type=jnp.float32)
+        msgA = _mm(opA[0], rhsA[0], MODE) + _mm(topA[0], tipA[0], MODE)
+        msgB = _mm(opB[0], rhsB[0], MODE) + _mm(topB[0], tipB[0], MODE)
         EA = (upv * msgB).reshape(G, CSP, pt)
         EB = (upv * msgA).reshape(G, CSP, pt)
         mxA = jnp.max(EA, axis=1)
@@ -418,10 +414,10 @@ def _make_up_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int):
         up_out[0] = upv
         upsc_out[0] = jnp.stack(upscs)
 
-        upA = jnp.dot(opA[0].T, EA.reshape(R, pt), precision=HI,
-                      preferred_element_type=jnp.float32)
-        upB = jnp.dot(opB[0].T, EB.reshape(R, pt), precision=HI,
-                      preferred_element_type=jnp.float32)
+        upA = _mm2(opA[0], _split_x(EA.reshape(R, pt), MODE), MODE,
+                   transpose=True)
+        upB = _mm2(opB[0], _split_x(EB.reshape(R, pt), MODE), MODE,
+                   transpose=True)
         upA3 = upA.reshape(G, CSP, pt)
         upB3 = upB.reshape(G, CSP, pt)
         mxA2 = jnp.max(upA3, axis=1)
@@ -466,9 +462,10 @@ def stream_up_pass(ms_up, sl_up, rhsA, rhsB, scA, scB,
     SP = tip0.shape[0]
     Pp = tipA.shape[2]
     n_tiles = Pp // pt
+    K = opA.shape[1]
 
-    def rev3(i, s_rev, *_):
-        return (n_steps - 1 - s_rev, 0, 0)
+    def rev4(i, s_rev, *_):
+        return (n_steps - 1 - s_rev, 0, 0, 0)
 
     def rev_tile(i, s_rev, *_):
         return (n_steps - 1 - s_rev, 0, i)
@@ -478,10 +475,10 @@ def stream_up_pass(ms_up, sl_up, rhsA, rhsB, scA, scB,
         pl.BlockSpec((1, R, pt), rev_tile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, G, pt), rev_tile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, G, pt), rev_tile, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, R), rev3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, R), rev3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, TSP), rev3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, TSP), rev3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, R), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, R), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, TSP), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, TSP), rev4, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TSP, pt), rev_tile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TSP, pt), rev_tile, memory_space=pltpu.VMEM),
         pl.BlockSpec((CSP, SP), lambda i, s, *_: (0, 0),
@@ -576,11 +573,12 @@ def build_theta_ops(pack, edge, is_int, tip, L: int, G: int, CSP: int):
         vtip = jnp.einsum("ngas,gh->ngahs", tp, eyeG).reshape(
             n_steps, R, G * S)
         vtip = jnp.pad(vtip, ((0, 0), (0, 0), (0, TSP - G * S)))
-        return vop, vtip
+        return (jnp.swapaxes(split_hilo(vop, MODE), 0, 1),
+                jnp.swapaxes(split_hilo(vtip, MODE), 0, 1))
 
     vopA, vtipA = one_side(0)
     vopB, vtipB = one_side(1)
-    return ut_op, vopA, vopB, vtipA, vtipB
+    return split_hilo(ut_op, MODE), vopA, vopB, vtipA, vtipB
 
 
 def _make_theta_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int):
@@ -622,14 +620,10 @@ def _make_theta_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int):
         upv = upring[pl.ds(pl.multiple_of(blk * R, R), R), :]
         upsc_rows = upscr[pl.ds(pl.multiple_of(blk * (G * 8), 8),
                                 G * 8), :]
-        msgA = jnp.dot(opA[0], rhsA[0], precision=HI,
-                       preferred_element_type=jnp.float32) \
-            + jnp.dot(topA[0], tipA[0], precision=HI,
-                      preferred_element_type=jnp.float32)
-        msgB = jnp.dot(opB[0], rhsB[0], precision=HI,
-                       preferred_element_type=jnp.float32) \
-            + jnp.dot(topB[0], tipB[0], precision=HI,
-                      preferred_element_type=jnp.float32)
+        rha = _split_x(rhsA[0], MODE)   # consumed by msgA AND bA
+        rhb = _split_x(rhsB[0], MODE)
+        msgA = _mm2(opA[0], rha, MODE) + _mm(topA[0], tipA[0], MODE)
+        msgB = _mm2(opB[0], rhb, MODE) + _mm(topB[0], tipB[0], MODE)
         EA = (upv * msgB).reshape(G, CSP, pt)
         EB = (upv * msgA).reshape(G, CSP, pt)
         mxA = jnp.max(EA, axis=1)
@@ -645,20 +639,12 @@ def _make_theta_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int):
             scEB.append(us + scA_in[0, g] + needB[g])
 
         # ---- fused theta: a = U^T E, b = V down(child) ------------------
-        EA2 = EA.reshape(R, pt)
-        EB2 = EB.reshape(R, pt)
-        aA = jnp.dot(ut_op[...], EA2, precision=HI,
-                     preferred_element_type=jnp.float32)
-        aB = jnp.dot(ut_op[...], EB2, precision=HI,
-                     preferred_element_type=jnp.float32)
-        bA = jnp.dot(vopA[0], rhsA[0], precision=HI,
-                     preferred_element_type=jnp.float32) \
-            + jnp.dot(vtipA[0], tipA[0], precision=HI,
-                      preferred_element_type=jnp.float32)
-        bB = jnp.dot(vopB[0], rhsB[0], precision=HI,
-                     preferred_element_type=jnp.float32) \
-            + jnp.dot(vtipB[0], tipB[0], precision=HI,
-                      preferred_element_type=jnp.float32)
+        ea2 = _split_x(EA.reshape(R, pt), MODE)   # feeds aA AND upA
+        eb2 = _split_x(EB.reshape(R, pt), MODE)
+        aA = _mm2(ut_op, ea2, MODE)
+        aB = _mm2(ut_op, eb2, MODE)
+        bA = _mm2(vopA[0], rha, MODE) + _mm(vtipA[0], tipA[0], MODE)
+        bB = _mm2(vopB[0], rhb, MODE) + _mm(vtipB[0], tipB[0], MODE)
         thA_out[0] = aA * bA
         thB_out[0] = aB * bB
         tscA_out[0] = jnp.stack(
@@ -667,10 +653,8 @@ def _make_theta_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int):
             [scEB[g] + scB_in[0, g] for g in range(G)])
 
         # ---- continue the outside sweep into internal children ----------
-        upA = jnp.dot(opA[0].T, EA2, precision=HI,
-                      preferred_element_type=jnp.float32)
-        upB = jnp.dot(opB[0].T, EB2, precision=HI,
-                      preferred_element_type=jnp.float32)
+        upA = _mm2(opA[0], ea2, MODE, transpose=True)
+        upB = _mm2(opB[0], eb2, MODE, transpose=True)
         upA3 = upA.reshape(G, CSP, pt)
         upB3 = upB.reshape(G, CSP, pt)
         mxA2 = jnp.max(upA3, axis=1)
@@ -713,9 +697,10 @@ def stream_theta_pass(ms_up, sl_up, rhsA, rhsB, scA, scB,
     SP = tip0.shape[0]
     Pp = tipA.shape[2]
     n_tiles = Pp // pt
+    K = opA.shape[1]
 
-    def rev3(i, s_rev, *_):
-        return (n_steps - 1 - s_rev, 0, 0)
+    def rev4(i, s_rev, *_):
+        return (n_steps - 1 - s_rev, 0, 0, 0)
 
     def rev_tile(i, s_rev, *_):
         return (n_steps - 1 - s_rev, 0, i)
@@ -725,10 +710,10 @@ def stream_theta_pass(ms_up, sl_up, rhsA, rhsB, scA, scB,
         pl.BlockSpec((1, R, pt), rev_tile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, G, pt), rev_tile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, G, pt), rev_tile, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, R), rev3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, R), rev3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, TSP), rev3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, TSP), rev3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, R), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, R), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, TSP), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, TSP), rev4, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TSP, pt), rev_tile, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TSP, pt), rev_tile, memory_space=pltpu.VMEM),
         pl.BlockSpec((CSP, SP), lambda i, s, *_: (0, 0),
@@ -737,12 +722,12 @@ def stream_theta_pass(ms_up, sl_up, rhsA, rhsB, scA, scB,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((SP, pt), lambda i, s, *_: (0, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((R, R), lambda i, s, *_: (0, 0),
+        pl.BlockSpec((K, R, R), lambda i, s, *_: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, R), rev3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, R), rev3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, TSP), rev3, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, TSP), rev3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, R), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, R), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, TSP), rev4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K, R, TSP), rev4, memory_space=pltpu.VMEM),
     ]
     out_shape = (
         jax.ShapeDtypeStruct((n_steps, R, Pp), jnp.float32),

@@ -47,10 +47,10 @@ def _bucket_steps(n: int) -> int:
     Coarse buckets keep the kernel shape IDENTICAL across the many
     topologies a tree search visits — each new shape costs a 20-40 s
     remote compile, far more than the padded steps it saves."""
-    if n <= 16:
-        return 16
+    if n <= 8:
+        return 8
     if n <= 64:
-        b = 16
+        b = 8
         while b < n:
             b *= 2
         return b

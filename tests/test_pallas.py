@@ -21,6 +21,25 @@ from iqtree2_tpu.tree.schedule import build_schedule
 from iqtree2_tpu.tree.topology import Tree
 
 
+
+
+@pytest.fixture(params=["f32", "x3"], autouse=True)
+def mm_mode(request):
+    """Run every kernel parity test in both full-f32 and bf16x3 modes.
+
+    f32 must match the XLA oracle to f32 roundoff; x3 (the production
+    default, see ops/prec.py) to its ~2^-17-per-op error bound."""
+    import os
+    from iqtree2_tpu.ops import prec
+    prec.set_precision({"f32": "highest", "x3": "high"}[request.param])
+    yield request.param
+    prec.set_precision(os.environ.get("IQTREE2_TPU_MM_PRECISION", "high"))
+
+
+def _tol(mode, base=2e-5, x3=1e-3):
+    return base if mode == "f32" else x3
+
+
 @pytest.fixture(scope="module")
 def prob():
     rng = np.random.default_rng(3)
@@ -38,7 +57,7 @@ def prob():
     return eng, sched
 
 
-def test_pallas_sitelp_matches_xla(prob):
+def test_pallas_sitelp_matches_xla(prob, mm_mode):
     eng, sched = prob
     sa = eng.schedule_arrays(sched)
     blens = jnp.asarray(sched.blens, jnp.float32)
@@ -59,11 +78,12 @@ def test_pallas_sitelp_matches_xla(prob):
             jnp.asarray(sched.child_src.reshape(-1)),
             jnp.asarray(sched.child_edge.reshape(-1)),
             tipP, P, wf, pack["log_ptn_invar"], pt=128)
+    t = _tol(mm_mode)
     np.testing.assert_allclose(np.asarray(lp_pal), np.asarray(lp_xla),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=t, atol=t)
 
 
-def test_pallas_passes_match_xla(prob):
+def test_pallas_passes_match_xla(prob, mm_mode):
     eng, sched = prob
     sa = eng.schedule_arrays(sched)
     blens = jnp.asarray(sched.blens, jnp.float32)
@@ -84,13 +104,14 @@ def test_pallas_passes_match_xla(prob):
             jnp.asarray(sched.child_edge.reshape(-1)), tipP,
             all_int, sc_int, P, pack["root_freqs"], pt=128)
 
+    t = _tol(mm_mode)
     np.testing.assert_allclose(np.asarray(all_int),
-                               np.asarray(dp.all[L:]), rtol=2e-5, atol=0)
+                               np.asarray(dp.all[L:]), rtol=t, atol=0)
     np.testing.assert_array_equal(np.asarray(sc_int, np.int32),
                                   np.asarray(dp.scale[L:]))
     np.testing.assert_allclose(np.asarray(E), np.asarray(up.edge_E),
-                               rtol=2e-5, atol=0)
+                               rtol=t, atol=0)
     np.testing.assert_allclose(np.asarray(UP), np.asarray(up.up_in),
-                               rtol=2e-5, atol=0)
+                               rtol=t, atol=0)
     np.testing.assert_array_equal(np.asarray(ES, np.int32),
                                   np.asarray(up.edge_E_scale))
