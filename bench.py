@@ -74,15 +74,54 @@ def make_problem(ntaxa=NTAXA, npat=NPAT, seed=12345):
     return eng, tree
 
 
-def time_loglik(eng, tree, n_evals=20, chain=256):
-    """Steady-state sec per full-tree logL.
+def make_problem_protein(ntaxa=64, npat=4096, seed=4242):
+    """LG+G4 protein workload (S=20): the >=20-state MXU-density row
+    (round-4 VERDICT Next #8)."""
+    import jax.numpy as jnp
 
-    Measured IN-PROGRAM (a fori_loop of `chain` dependent evaluations per
-    dispatch, each on perturbed branch lengths) because that is how every
-    real consumer invokes the kernel: branch optimization, NNI rounds and
-    ModelFinder all run many evaluations inside one compiled program. The
-    per-dispatch wall (one jit call per eval) is also returned for
-    reference.
+    from iqtree2_tpu.data import seqtypes
+    from iqtree2_tpu.data.alignment import Alignment
+    from iqtree2_tpu.engine import LikelihoodEngine
+    from iqtree2_tpu.model.protein import make_protein_model
+    from iqtree2_tpu.model.rates import RateGamma
+    from iqtree2_tpu.tree.topology import Tree
+
+    rng = np.random.default_rng(seed)
+    st = seqtypes.protein_type()
+    pat = rng.integers(0, 20, size=(npat, ntaxa))
+    codes = np.asarray(pat, np.int64)
+    aln = Alignment(names=[f"t{i}" for i in range(ntaxa)], seqtype=st,
+                    patterns=codes, pattern_weights=np.ones(npat),
+                    site_to_pattern=np.arange(npat, dtype=np.int32))
+    model = make_protein_model("LG")
+    rates = RateGamma(NCAT, alpha=0.8)
+    eng = LikelihoodEngine(aln, model, rates, dtype=jnp.float32)
+    tree = Tree.random_topology(aln.names, rng)
+    return eng, tree
+
+
+def time_loglik(eng, tree, n_evals=8, chain=256, reps=3, k_chains=3):
+    """Steady-state sec per full-tree logL, tunnel-artifact-proof.
+
+    Two defenses against the axon tunnel's unreliable completion
+    signaling (round-4 BENCH was a 60x artifact of trusting
+    block_until_ready at sub-ms scales):
+
+    1. WORK CONSERVATION: each sample times k_chains back-to-back
+       in-program chains of `chain` dependent evaluations and ends with
+       np.asarray() of the LAST result — fetching real bytes cannot
+       return early, and the in-order device queue guarantees every
+       prior dispatch finished.  sample = wall / (k_chains * chain).
+    2. CONSISTENCY GATE: `reps` independent samples are taken; the
+       headline is their MEDIAN, and detail records every sample plus
+       the max/min spread.  If the spread exceeds 1.5x the JSON carries
+       "unstable": true and the headline falls back to the MAX
+       (conservative) sample.
+
+    Each chain iteration perturbs branch lengths by the iteration index
+    (so XLA cannot hoist the body) with a vanishing data dependency on
+    the running sum (so evaluations serialize at runtime, matching how
+    the optimizers consume the kernel).
     """
     import jax
     import jax.numpy as jnp
@@ -103,12 +142,6 @@ def time_loglik(eng, tree, n_evals=20, chain=256):
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def _chained(b, tipP, sa_, pack, pw, n):
-        # Each iteration's branch lengths are perturbed by the ITERATION
-        # INDEX (guaranteed to change in f32 — a logL-scaled perturbation
-        # can round to exactly 1.0f and let XLA hoist the body out of the
-        # loop) PLUS a vanishing true data dependency on the running sum,
-        # which serializes the evaluations at runtime (matching how the
-        # optimizers consume the kernel) without changing the values.
         def body(i, acc):
             scale = (1.0 + 1e-6 * (i.astype(jnp.float32) + 1.0)
                      + acc * jnp.float32(1e-30))
@@ -119,41 +152,33 @@ def time_loglik(eng, tree, n_evals=20, chain=256):
     def step(b):
         return _step(b, eng._dev_tipP, sa, eng._dev_pack, eng._dev_pw)
 
-    def chained(b):
-        return _chained(b, eng._dev_tipP, sa, eng._dev_pack,
-                        eng._dev_pw, chain)
-
-    bl_list = [blens * jnp.float32(1.0 + 1e-6 * i) for i in range(n_evals)]
-    jax.block_until_ready(bl_list)
-    out = step(bl_list[0])
-    out.block_until_ready()
+    # per-dispatch wall (for reference only), same conservation trick
+    w = step(blens)
+    np.asarray(w)
     t0 = time.perf_counter()
-    for b in bl_list:
-        out = step(b)
-        out.block_until_ready()
+    outs = [step(blens * jnp.float32(1.0 + 1e-6 * i))
+            for i in range(n_evals)]
+    np.asarray(outs[-1])
     per_dispatch = (time.perf_counter() - t0) / n_evals
 
-    # steady-state: one long in-program chain amortizes the per-dispatch
-    # tunnel overhead; min over repetitions. The tunnel's completion
-    # signaling is unreliable at sub-ms scales, so a result faster than
-    # a physically plausible floor falls back to the per-dispatch wall.
-    def timed(n):
-        f = _chained(blens, eng._dev_tipP, sa, eng._dev_pack,
-                     eng._dev_pw, n)
-        f.block_until_ready()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            r = _chained(blens, eng._dev_tipP, sa, eng._dev_pack,
-                         eng._dev_pw, n)
-            r.block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    per_eval = timed(chain) / chain
-    if per_eval < 2e-5:   # implausible: tunnel signaled completion early
-        per_eval = per_dispatch
-    return per_eval, float(step(blens)), sched, per_dispatch
+    f = _chained(blens, eng._dev_tipP, sa, eng._dev_pack, eng._dev_pw,
+                 chain)
+    np.asarray(f)                      # warm compile + settle queue
+    samples = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        outs = [_chained(blens * jnp.float32(1.0 + 1e-7 * (r + k)),
+                         eng._dev_tipP, sa, eng._dev_pack, eng._dev_pw,
+                         chain) for k in range(k_chains)]
+        np.asarray(outs[-1])
+        samples.append((time.perf_counter() - t0) / (k_chains * chain))
+    samples.sort()
+    med = samples[len(samples) // 2]
+    unstable = samples[-1] > 1.5 * samples[0]
+    per_eval = samples[-1] if unstable else med
+    return (per_eval, float(step(blens)), sched, per_dispatch,
+            {"samples_us": [round(x * 1e6, 2) for x in samples],
+             "unstable": unstable})
 
 
 def time_blen_opt(eng, tree, n_rounds=10):
@@ -248,7 +273,7 @@ def main():
     # weak-int64 and SIGABRTs the TPU compiler); float64 model fits scope
     # x64 themselves (model/jaxfit.py)
     eng, tree = make_problem()
-    sec_per_eval, logL, sched, sec_dispatch = time_loglik(eng, tree)
+    sec_per_eval, logL, sched, sec_dispatch, meth = time_loglik(eng, tree)
     n_edges = sched.n_edges
     evals_per_sec = NPAT * n_edges * NCAT / sec_per_eval
 
@@ -264,9 +289,26 @@ def main():
 
     # 1000-taxon secondary config
     eng2, tree2 = make_problem(ntaxa=1000, npat=NPAT, seed=777)
-    sec_1000, logL_1000, _, _ = time_loglik(eng2, tree2, n_evals=8,
-                                            chain=64)
+    sec_1000, logL_1000, _, _, meth_1000 = time_loglik(
+        eng2, tree2, n_evals=8, chain=64)
     opt1000_wall, opt1000_logL = time_blen_opt(eng2, tree2, n_rounds=10)
+
+    # protein row: LG+G4, S=20 — MXU density without the DNA small-state
+    # penalty (round-4 VERDICT Next #8)
+    prot = {}
+    try:
+        engp, treep = make_problem_protein()
+        sec_p, logL_p, sched_p, _, meth_p = time_loglik(
+            engp, treep, n_evals=4, chain=64)
+        prot = {
+            "protein_evals_per_sec": round(
+                4096 * sched_p.n_edges * NCAT / sec_p, 1),
+            "protein_sec_per_logL": round(sec_p, 6),
+            "protein_logL": logL_p,
+            "protein_samples_us": meth_p["samples_us"],
+        }
+    except Exception as e:       # noqa: BLE001 — bench must not die
+        print(f"# protein bench failed: {e}", file=sys.stderr)
 
     # flagship end-to-end walls (BASELINE.md "wall-clock to ML tree")
     search_wall = search_logL = mfp_wall = None
@@ -308,6 +350,15 @@ def main():
         "detail": {
             "sec_per_full_tree_logL": round(sec_per_eval, 6),
             "sec_per_logL_per_dispatch": round(sec_dispatch, 6),
+            "chain_samples_us": meth["samples_us"],
+            "unstable": meth["unstable"],
+            "chain_samples_1000taxa_us": meth_1000["samples_us"],
+            "mm_precision": os.environ.get("IQTREE2_TPU_MM_PRECISION",
+                                           "high"),
+            "timing_method": "work-conservation: K back-to-back "
+                             "in-program chains ended by a real byte "
+                             "fetch; median of 3 samples, max on >1.5x "
+                             "spread (see time_loglik)",
             "ntaxa": NTAXA, "patterns": NPAT, "categories": NCAT,
             "logL": logL,
             "mfu_f32": round(mfu, 5),
@@ -324,6 +375,7 @@ def main():
             "mf_wall_s": round(mfp_wall, 2) if mfp_wall else None,
             "mf_best_model": mfp_best,
             "vs_baseline_64core_est": round(vs64, 3) if vs64 else None,
+            **prot,
             "baseline_task": "fixed-topology branch-length optimization "
                              "wall vs reference binary on this host",
             "device": _device_name(),

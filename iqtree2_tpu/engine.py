@@ -669,9 +669,10 @@ class LikelihoodEngine:
             kind = "nonrev"
         elif ("p2t_cfg" in sa and "asc_mask" not in self._dev_pack
               and self._dev_pack.get("W") is not None
-              and os.environ.get("IQTREE2_TPU_THETA_KERNEL")):
-            # fused theta kernel: measured ~on par with the export+XLA
-            # path at 64 taxa (round-4 PERF_NOTES); opt-in until it wins
+              and not os.environ.get("IQTREE2_TPU_NO_THETA_KERNEL")):
+            # fused theta kernel: default since round 5 — measured 1.44 s
+            # vs 1.63 s (std) for the 1000-taxon 10-round optimization
+            # under the x3 precision kernels
             kind = "v2"
         else:
             kind = "std"
