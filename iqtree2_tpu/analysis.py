@@ -328,13 +328,33 @@ def run_analysis(params: Params) -> dict:
                                                       0.1))
             round_size = max(dist_nranks, 4)
             n_rounds = max(1, -(-sp.min_iterations // round_size))
-            ds = DistributedSearch(
-                eng, aln, gossip, dist_rank, dist_nranks,
-                seed=params.seed, n_init_trees=sp.n_init_trees,
-                n_nni_trees=sp.n_nni_trees, pop_size=sp.pop_size,
-                round_size=round_size, n_rounds=n_rounds,
-                pertub_strength=sp.pertub_strength, ufboot=ufboot, log=log)
-            tree, best_logL = ds.run()
+            fin = ckp.get("dist_search.finished")
+            if fin and not params.redo:
+                # resume semantics match the serial path: an interrupted
+                # multi-rank run short-circuits to the recorded result
+                # instead of redoing the whole search on every rank
+                tree = Tree.from_newick(fin["tree"], aln.names)
+                best_logL = fin["logL"]
+                log(f"Distributed search already finished per checkpoint "
+                    f"(logL {best_logL:.4f})")
+                if ufboot is not None and \
+                        ckp.get("search.ufboot") is not None:
+                    ufboot.load_state_dict(ckp.get("search.ufboot"))
+            else:
+                ds = DistributedSearch(
+                    eng, aln, gossip, dist_rank, dist_nranks,
+                    seed=params.seed, n_init_trees=sp.n_init_trees,
+                    n_nni_trees=sp.n_nni_trees, pop_size=sp.pop_size,
+                    round_size=round_size, n_rounds=n_rounds,
+                    pertub_strength=sp.pertub_strength, ufboot=ufboot,
+                    log=log, constraint=constraint)
+                tree, best_logL = ds.run()
+                ckp.put("dist_search.finished",
+                        {"tree": tree.to_newick(digits=17),
+                         "logL": best_logL})
+                if ufboot is not None:
+                    ckp.put("search.ufboot", ufboot.state_dict())
+                ckp.dump(force=True)
             log(f"Distributed search done: best logL {best_logL:.4f}")
             search_info["Number of iterations"] = round_size * n_rounds
             search_info["Distributed ranks"] = dist_nranks

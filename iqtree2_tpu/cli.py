@@ -221,16 +221,12 @@ def main(argv=None) -> int:
     plat = os.environ.get("IQTREE2_TPU_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
-    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        # persistent compile cache: kernel shapes recur across runs and
-        # remote TPU compiles cost 20-40 s each
-        try:
-            jax.config.update("jax_compilation_cache_dir",
-                              "/tmp/jax_cache")
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass
+    # persistent compile cache: kernel shapes recur across runs and
+    # remote TPU compiles cost 20-40 s each.  Per-user dir + failure
+    # fallback (round-4 ADVICE.md item 5); honors
+    # JAX_COMPILATION_CACHE_DIR / IQTREE2_TPU_NO_COMPILE_CACHE.
+    from iqtree2_tpu.utils.compilecache import enable_compile_cache
+    enable_compile_cache(min_compile_secs=1.0)
     if pr.use_f64:
         # parity mode: everything float64 (disables the f32 TPU kernels).
         # Default runs keep global x64 OFF — the f32 Pallas kernels trace

@@ -331,6 +331,48 @@ _OPT_KINDS = {"std": _optimize_blens_jit, "v2": _optimize_blens_v2_jit,
               "nonrev": _optimize_blens_nonrev_jit}
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "n_rounds", "n_newton",
+                                             "nni5", "nonrev", "want_lp"))
+def _opt_nni_flat_jit(cand, blens, tipP, sched, pack, pw, t_min, t_max,
+                      kind: str = "std", n_rounds: int = 4,
+                      n_newton: int = 4, nni5: bool = False,
+                      nonrev: bool = False, want_lp: bool = False):
+    """One fused NNI-round program: all-branch optimization, down+up
+    passes on the OPTIMIZED lengths, NNI candidate scoring, and
+    (optionally) the optimized tree's per-pattern log-likelihoods —
+    one dispatch, one flat output, ONE blocking pull.
+
+    The tunnel charges ~80 ms latency per blocking pull regardless of
+    size; the round-4 search spent ~90 s of a 136 s wall on the
+    separate optimize / evaluate pulls this program fuses (reference
+    economics analog: optimizeAllBranches + evaluateNNIs inside one
+    doNNISearch round, tree/iqtree.cpp:2998)."""
+    from iqtree2_tpu.ops.nni import evaluate_nnis, evaluate_nnis5
+    dtype = tipP.dtype
+    nb, logL = _OPT_KINDS[kind](blens, tipP, sched, pack, pw,
+                                t_min, t_max, n_rounds, n_newton)
+    P = pruning.transition_tensors(nb.astype(dtype), pack)
+    dp, up = pruning.both_passes(P, tipP, sched, pack)
+    if nni5:
+        out = evaluate_nnis5(cand, nb.astype(dtype), dp, up, sched, pack,
+                             pw, t_min, t_max, nonrev=nonrev)
+    else:
+        out = evaluate_nnis(cand, nb.astype(dtype), dp, up.up_in,
+                            up.up_scale, sched, pack, pw, t_min, t_max,
+                            nonrev=nonrev)
+    parts = [nb.reshape(-1), logL.reshape(1)]
+    parts += [o.reshape(-1).astype(dtype) for o in out]
+    if want_lp:
+        n_int = sched["child_src"].shape[0]
+        Broot, SCroot = pruning.root_partial(dp, P, tipP, n_int)
+        _, lp = pruning.root_loglik(
+            Broot, SCroot, pack["root_freqs"], pack["cat_weight"],
+            pack["log_ptn_invar"], pw, asc_mask=pack.get("asc_mask"),
+            asc_nsites=pack.get("asc_nsites"))
+        parts.append(lp.reshape(-1).astype(dtype))
+    return jnp.concatenate(parts)
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "n_rounds",
                                              "n_newton"))
 def _opt_flat_jit(blens, tipP, sched, pack, pw, t_min, t_max,
@@ -656,6 +698,53 @@ class LikelihoodEngine:
             parts[-1] = parts[-1][:, :, : self.aln.num_patterns]
         return tuple(parts)
 
+    def _opt_kind(self, sa) -> str:
+        import os
+        if self._dev_pack.get("Q") is not None:
+            return "nonrev"
+        if ("p2t_cfg" in sa and "asc_mask" not in self._dev_pack
+                and self._dev_pack.get("W") is not None
+                and not os.environ.get("IQTREE2_TPU_NO_THETA_KERNEL")):
+            return "v2"
+        return "std"
+
+    def optimize_and_evaluate_nnis(self, tree, sched, cand_arrays,
+                                   n_rounds: int = 4,
+                                   t_min: float = DEFAULT_MIN_BLEN,
+                                   t_max: float = DEFAULT_MAX_BLEN,
+                                   nni5: bool = False,
+                                   want_lp: bool = False):
+        """Fused NNI round: optimize all branches (written back into
+        ``tree``), then score every NNI candidate at the optimized
+        lengths — one dispatch, one pull (see _opt_nni_flat_jit).
+
+        Returns (opt_logL, logl [n,3], t_opt [n,3][, t5 [n,3,5]]
+        [, site_lp [num_patterns]])."""
+        from iqtree2_tpu.tree.schedule import write_blens_to_tree
+        n = int(cand_arrays.shape[1])
+        blens = jnp.asarray(np.maximum(sched.blens, t_min), self.dtype)
+        sa = self.schedule_arrays(sched)
+        nonrev = self._dev_pack.get("Q") is not None
+        flat = np.asarray(_opt_nni_flat_jit(
+            cand_arrays, blens, self._dev_tipP, sa, self._dev_pack,
+            self._dev_pw, self._dev_scalar(t_min), self._dev_scalar(t_max),
+            kind=self._opt_kind(sa), n_rounds=n_rounds, nni5=nni5,
+            nonrev=nonrev, want_lp=want_lp), np.float64)
+        nb = flat[: len(sched.blens)]
+        write_blens_to_tree(tree, sched, nb)
+        sched.blens[:] = nb
+        off = len(sched.blens)
+        opt_logL = float(flat[off]); off += 1
+        shapes = [(n, 3), (n, 3)] + ([(n, 3, 5)] if nni5 else [])
+        outs = []
+        for shp in shapes:
+            cnt = int(np.prod(shp))
+            outs.append(flat[off:off + cnt].reshape(shp))
+            off += cnt
+        if want_lp:
+            outs.append(flat[off:off + self.Pp][: self.aln.num_patterns])
+        return (opt_logL, *outs)
+
     def optimize_branches(self, tree: Tree, n_rounds: int = 10,
                           n_newton: int = 4,
                           t_min: float = DEFAULT_MIN_BLEN,
@@ -664,18 +753,10 @@ class LikelihoodEngine:
         sched = build_schedule(tree)
         blens = jnp.asarray(np.maximum(sched.blens, t_min), self.dtype)
         sa = self.schedule_arrays(sched)
-        import os
-        if self._dev_pack.get("Q") is not None:
-            kind = "nonrev"
-        elif ("p2t_cfg" in sa and "asc_mask" not in self._dev_pack
-              and self._dev_pack.get("W") is not None
-              and not os.environ.get("IQTREE2_TPU_NO_THETA_KERNEL")):
-            # fused theta kernel: default since round 5 — measured 1.44 s
-            # vs 1.63 s (std) for the 1000-taxon 10-round optimization
-            # under the x3 precision kernels
-            kind = "v2"
-        else:
-            kind = "std"
+        # _opt_kind: "v2" = fused theta kernel, default since round 5
+        # (measured 1.44 s vs 1.63 s std for the 1000-taxon 10-round
+        # optimization under the x3 precision kernels)
+        kind = self._opt_kind(sa)
         flat = np.asarray(_opt_flat_jit(
             blens, self._dev_tipP, sa, self._dev_pack, self._dev_pw,
             self._dev_scalar(t_min), self._dev_scalar(t_max),

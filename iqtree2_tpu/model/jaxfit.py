@@ -554,14 +554,19 @@ def try_fit_batch(eng, tree, pairs, epsilon: float = 0.1,
 
     import contextlib
     import os as _os
-    ctx = contextlib.nullcontext()
-    if _os.environ.get("IQTREE2_TPU_FIT_DEVICE", "cpu") == "cpu" and \
-            jax.default_backend() != "cpu":
-        try:
-            ctx = jax.default_device(jax.devices("cpu")[0])
-        except Exception:
-            pass
-    with ctx:
+    with contextlib.ExitStack() as stack:
+        if _os.environ.get("IQTREE2_TPU_FIT_DEVICE", "cpu") == "cpu" and \
+                jax.default_backend() != "cpu":
+            try:
+                stack.enter_context(
+                    jax.default_device(jax.devices("cpu")[0]))
+            except Exception:
+                pass
+        # mirror try_fit: an explicit float64 request with global x64 off
+        # would otherwise silently downcast every jnp.asarray to f32
+        # while keeping the f64-tuned gtol (round-4 ADVICE.md item 2)
+        if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            stack.enter_context(jax.enable_x64(True))
         pk = eng.pack_np
         tip_table = jnp.asarray(pk.tip_table, dtype)
         tipP = jnp.swapaxes(tip_table[jnp.asarray(eng.tip_codes)], 1, 2)

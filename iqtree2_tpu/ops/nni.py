@@ -115,11 +115,7 @@ def evaluate_nnis(cand_arrays, blens, dp: pruning.DownPass, up_in, up_scale,
         def score(down, s_down, out, s_out):
             if nonrev:
                 return score_nonrev(down, s_down, out, s_out)
-            a = jnp.einsum("cxk,cxp->ckp", Uc, out,
-                           precision=jax.lax.Precision.HIGHEST)
-            b = jnp.einsum("cky,cyp->ckp", Vc, down,
-                           precision=jax.lax.Precision.HIGHEST)
-            theta = a * b
+            theta = pruning.apply_PT(Uc, out) * pruning.apply_P(Vc, down)
             scale = s_down + s_out
             t_opt = pruning.newton_branch_step(
                 theta, scale, t0, pack, log_ptn_invar, pattern_weights,
@@ -160,11 +156,7 @@ def _transition_one(t, pack):
 
 
 def _theta(out, down, Uc, Vc):
-    a = jnp.einsum("cxk,cxp->ckp", Uc, out,
-                   precision=jax.lax.Precision.HIGHEST)
-    b = jnp.einsum("cky,cyp->ckp", Vc, down,
-                   precision=jax.lax.Precision.HIGHEST)
-    return a * b
+    return pruning.apply_PT(Uc, out) * pruning.apply_P(Vc, down)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton",
@@ -241,40 +233,32 @@ def evaluate_nnis5(cand_arrays, blens, dp: pruning.DownPass, up,
             def round_body(_, ts):
                 ta, tb, tc, td, te = (ts[0], ts[1], ts[2], ts[3], ts[4])
                 t1, t2, t3 = ts[idx1], ts[idx2], ts[idx3]
-                m1 = jnp.einsum("cxy,cyp->cxp", _transition_one(t1, pack),
-                                px1, precision=jax.lax.Precision.HIGHEST)
-                m2 = jnp.einsum("cxy,cyp->cxp", _transition_one(t2, pack),
-                                px2, precision=jax.lax.Precision.HIGHEST)
-                m3 = jnp.einsum("cxy,cyp->cxp", _transition_one(t3, pack),
-                                px3, precision=jax.lax.Precision.HIGHEST)
+                m1 = pruning.apply_P(_transition_one(t1, pack), px1)
+                m2 = pruning.apply_P(_transition_one(t2, pack), px2)
+                m3 = pruning.apply_P(_transition_one(t3, pack), px3)
                 Pd = _transition_one(td, pack)
                 out_v = jnp.where(
                     is_root, out_root,
-                    jnp.einsum("cxy,cxp->cyp", Pd, E_d,
-                               precision=jax.lax.Precision.HIGHEST))
+                    pruning.apply_PT(Pd, E_d))
                 s_out = jnp.where(is_root, s_out_root, s_Ed)
                 down_u, s_du = resc(m1 * m2, sx1 + sx2)
                 out_e, s_oe = resc(out_v * m3, s_out + sx3)
                 # central branch
                 te = newton(out_e, down_u, s_du + s_oe, te)
                 Pe = _transition_one(te, pack)
-                m_u = jnp.einsum("cxy,cyp->cxp", Pe, down_u,
-                                 precision=jax.lax.Precision.HIGHEST)
+                m_u = pruning.apply_P(Pe, down_u)
                 # x3 branch (v's other child)
                 out_3, s_o3 = resc(out_v * m_u, s_out + s_du)
                 t3 = newton(out_3, px3, s_o3 + sx3, t3)
                 # u-side outside
-                out_u = jnp.einsum("cxy,cxp->cyp", Pe, out_e,
-                                   precision=jax.lax.Precision.HIGHEST)
+                out_u = pruning.apply_PT(Pe, out_e)
                 o1, s_o1 = resc(out_u * m2, s_oe + sx2)
                 t1 = newton(o1, px1, s_o1 + sx1, t1)
-                m1 = jnp.einsum("cxy,cyp->cxp", _transition_one(t1, pack),
-                                px1, precision=jax.lax.Precision.HIGHEST)
+                m1 = pruning.apply_P(_transition_one(t1, pack), px1)
                 o2, s_o2 = resc(out_u * m1, s_oe + sx1)
                 t2 = newton(o2, px2, s_o2 + sx2, t2)
                 # d branch (skip at root)
-                m2 = jnp.einsum("cxy,cyp->cxp", _transition_one(t2, pack),
-                                px2, precision=jax.lax.Precision.HIGHEST)
+                m2 = pruning.apply_P(_transition_one(t2, pack), px2)
                 down_v, s_dv = resc(m_u * m3, s_du + sx3)
                 td_new = newton(E_d, down_v, s_dv + s_Ed, td)
                 td = jnp.where(is_root, td, td_new)
@@ -285,17 +269,13 @@ def evaluate_nnis5(cand_arrays, blens, dp: pruning.DownPass, up,
             ts = jax.lax.fori_loop(0, n_rounds, round_body, t0)
             # final score at optimized lengths
             t1, t2, t3 = ts[idx1], ts[idx2], ts[idx3]
-            m1 = jnp.einsum("cxy,cyp->cxp", _transition_one(t1, pack), px1,
-                            precision=jax.lax.Precision.HIGHEST)
-            m2 = jnp.einsum("cxy,cyp->cxp", _transition_one(t2, pack), px2,
-                            precision=jax.lax.Precision.HIGHEST)
-            m3 = jnp.einsum("cxy,cyp->cxp", _transition_one(t3, pack), px3,
-                            precision=jax.lax.Precision.HIGHEST)
+            m1 = pruning.apply_P(_transition_one(t1, pack), px1)
+            m2 = pruning.apply_P(_transition_one(t2, pack), px2)
+            m3 = pruning.apply_P(_transition_one(t3, pack), px3)
             Pd = _transition_one(ts[3], pack)
             out_v = jnp.where(
                 is_root, out_root,
-                jnp.einsum("cxy,cxp->cyp", Pd, E_d,
-                           precision=jax.lax.Precision.HIGHEST))
+                pruning.apply_PT(Pd, E_d))
             s_out = jnp.where(is_root, s_out_root, s_Ed)
             down_u, s_du = resc(m1 * m2, sx1 + sx2)
             out_e, s_oe = resc(out_v * m3, s_out + sx3)
@@ -321,19 +301,25 @@ def evaluate_nnis5(cand_arrays, blens, dp: pruning.DownPass, up,
                 lp = jnp.zeros((0,), dtype)
             return logl, ts[4], ts, lp
 
-        # variant 0 (swap b<->c): u'={a,c}, v' other = b
-        l0, te0, ts0, p0 = score_variant(p_a, s_a, p_c, s_c, p_b, s_b,
-                                         0, 2, 1)
-        # variant 1 (swap a<->c): u'={b,c}, v' other = a
-        l1, te1, ts1, p1 = score_variant(p_b, s_b, p_c, s_c, p_a, s_a,
-                                         1, 2, 0)
-        # baseline: u'={a,b}, v' other = c
-        l2, te2, ts2, p2 = score_variant(p_a, s_a, p_b, s_b, p_c, s_c,
-                                         0, 1, 2)
-        out = (jnp.stack([l0, l1, l2]), jnp.stack([te0, te1, te2]),
-               jnp.stack([ts0, ts1, ts2]))
+        # The three configurations (variant 0 swaps b<->c, variant 1
+        # swaps a<->c, baseline keeps {a,b}) run as ONE vmapped batch
+        # axis: unrolling them tripled the sequential op chain of the
+        # coordinate-Newton sweep, which is op-latency- (not FLOP-)
+        # bound at example.phy scale (measured 42 ms -> ~15 ms fused
+        # NNI5 round on v5e).
+        PX1 = jnp.stack([p_a, p_b, p_a])
+        SX1 = jnp.stack([s_a, s_b, s_a])
+        PX2 = jnp.stack([p_c, p_c, p_b])
+        SX2 = jnp.stack([s_c, s_c, s_b])
+        PX3 = jnp.stack([p_b, p_a, p_c])
+        SX3 = jnp.stack([s_b, s_a, s_c])
+        IDX1 = jnp.asarray([0, 1, 0])
+        IDX2 = jnp.asarray([2, 2, 1])
+        IDX3 = jnp.asarray([1, 0, 2])
+        l, te, ts, lp = jax.vmap(score_variant)(
+            PX1, SX1, PX2, SX2, PX3, SX3, IDX1, IDX2, IDX3)
         if return_site_lp:
-            return out + (jnp.stack([p0, p1, p2]),)
-        return out
+            return l, te, ts, lp
+        return l, te, ts
 
     return jax.vmap(one)(iu, iv, slot_c, eid)

@@ -218,7 +218,7 @@ def _down_pass_xla(P, tipP, sched) -> DownPass:
         eids = child_edge[nid_c]                        # [G, 2]
         src = ALL[src_idx]                              # [G, 2, C, S, Pp]
         Pe = P[eids]                                    # [G, 2, C, S, S]
-        msg = jnp.einsum("gkcxy,gkcyp->gkcxp", Pe, src, precision=HIGHEST)
+        msg = apply_P(Pe, src)
         prod = msg[:, 0] * msg[:, 1]                    # [G, C, S, Pp]
         sc = SC[src_idx[:, 0]] + SC[src_idx[:, 1]]      # [G, Pp] int32
         mx = prod.max(axis=(1, 2))
@@ -235,6 +235,35 @@ def _down_pass_xla(P, tipP, sched) -> DownPass:
     return DownPass(ALL, SC)
 
 
+# ----------------------------------------------- tiny-state contractions
+# A batched [S, S] dot_general pads every matmul onto the 128x128 MXU:
+# measured 11x slower than the broadcast-multiply-reduce forms below at
+# S=4 on v5e (XLA fuses these into a single reduce without materializing
+# the [..., S, S, P] intermediate).  All small-state NNI/Newton hot paths
+# route through these helpers; the big [128,128]-packed operators of the
+# streaming kernels are unaffected.
+
+def apply_P(P, x):
+    """msg[..., x, p] = sum_y P[..., x, y] * x[..., y, p]."""
+    return (P[..., :, :, None] * x[..., None, :, :]).sum(-2)
+
+
+def apply_PT(P, x):
+    """out[..., y, p] = sum_x P[..., x, y] * x[..., x, p]."""
+    return (P[..., :, :, None] * x[..., :, None, :]).sum(-3)
+
+
+def weight_sum(theta, w):
+    """site[..., p] = sum_{c,k} theta[..., c, k, p] * w[..., c, k]."""
+    return (theta * w[..., None]).sum((-3, -2))
+
+
+def weight_sum3(theta, coef):
+    """s[..., j, p] = sum_{c,k} theta[..., c, k, p] * coef[..., c, k, j]."""
+    return (theta[..., :, :, None, :] * coef[..., :, :, :, None]).sum(
+        (-4, -3))
+
+
 def gather_messages(dp: DownPass, P, src_idx, eids):
     """Recompute child messages msg = P_e @ partial[src] for arbitrary index
     arrays (used by NNI evaluation — messages are no longer stored).
@@ -242,8 +271,7 @@ def gather_messages(dp: DownPass, P, src_idx, eids):
     src_idx/eids: [...]; returns (msg [..., C, S, Ppat], scale [..., Ppat]).
     """
     src = dp.all[src_idx]
-    msg = jnp.einsum("...cxy,...cyp->...cxp", P[eids], src,
-                     precision=HIGHEST)
+    msg = apply_P(P[eids], src)
     return msg, dp.scale[src_idx]
 
 
@@ -483,7 +511,7 @@ def _up_pass_xla(P, dp: DownPass, tipP, sched, root_freqs) -> UpPass:
         eids = child_edge[nid_c]                        # [G, 2]
         src = dp.all[src_idx]                           # [G, 2, C, S, Pp]
         Pe = P[eids]                                    # [G, 2, C, S, S]
-        msg = jnp.einsum("gkcxy,gkcyp->gkcxp", Pe, src, precision=HIGHEST)
+        msg = apply_P(Pe, src)
         msc = dp.scale[src_idx]                         # [G, 2, Pp]
         up = UP[nid_c]                                  # [G, C, S, Pp]
         ups = UPS[nid_c]                                # [G, Pp]
@@ -539,8 +567,8 @@ def edge_thetas(up: UpPass, dp: DownPass, edge_src, pack) -> Thetas:
     Uc = pack["U"][pack["cat_mix"]]   # [C, S, S]
     Vc = pack["V"][pack["cat_mix"]]
     down, down_sc = edge_down_partials(dp, edge_src)
-    a = jnp.einsum("cxk,ecxp->eckp", Uc, up.edge_E, precision=HIGHEST)
-    b = jnp.einsum("cky,ecyp->eckp", Vc, down, precision=HIGHEST)
+    a = apply_PT(Uc, up.edge_E)
+    b = apply_P(Vc, down)
     theta = a * b
     return Thetas(theta, up.edge_E_scale + down_sc)
 
@@ -631,8 +659,7 @@ def branch_lh_derivs(theta, scale, t, pack, log_ptn_invar, pattern_weights,
     tiny = jnp.finfo(dtype).tiny
     asc_mask = pack.get("asc_mask")
     if order == 0:
-        site0 = jnp.maximum(
-            jnp.einsum("ckp,ck->p", theta, wet, precision=HIGHEST), 0.0)
+        site0 = jnp.maximum(weight_sum(theta, wet), 0.0)
         lp = jnp.log(jnp.maximum(site0, tiny)) - sc
         lp = jnp.logaddexp(lp, log_ptn_invar)
         logL = jnp.sum(pattern_weights * lp)
@@ -649,7 +676,7 @@ def branch_lh_derivs(theta, scale, t, pack, log_ptn_invar, pattern_weights,
     # sums: theta is the big HBM array (132 MB at 64 taxa x 16k patterns);
     # three separate einsums re-read it three times per Newton iteration
     coef = jnp.stack([wet, wet * lr, wet * lr * lr], axis=-1)  # [C, K, 3]
-    s012 = jnp.einsum("ckp,ckj->jp", theta, coef, precision=HIGHEST)
+    s012 = weight_sum3(theta, coef)
     site0 = jnp.maximum(s012[0], 0.0)
     lp = jnp.log(jnp.maximum(site0, tiny)) - sc
     lp = jnp.logaddexp(lp, log_ptn_invar)
@@ -697,8 +724,7 @@ def branch_site_lp(theta, scale, t, pack, log_ptn_invar):
     lam = pack["eigvals"][pack["cat_mix"]]
     lr = lam * pack["cat_rate"][:, None]
     wet = pack["cat_weight"][:, None] * jnp.exp(lr * t)
-    site0 = jnp.maximum(
-        jnp.einsum("ckp,ck->p", theta, wet, precision=HIGHEST), 0.0)
+    site0 = jnp.maximum(weight_sum(theta, wet), 0.0)
     sc = scale.astype(dtype) * jnp.asarray(log_rescale, dtype)
     tiny = jnp.finfo(dtype).tiny
     lp = jnp.log(jnp.maximum(site0, tiny)) - sc
@@ -738,15 +764,15 @@ def branch_lh_derivs_mixlen(theta, scale, tvec, pack, log_ptn_invar,
     w = pack["cat_weight"]
     et = jnp.exp(lr * tvec[:, None])                 # [C, K]
     wet = w[:, None] * et
-    s0c = jnp.einsum("ckp,ck->cp", theta, wet, precision=HIGHEST)
+    s0c = (theta * wet[..., None]).sum(-2)
     site0 = jnp.maximum(s0c.sum(0), 0.0)
     sc = scale.astype(dtype) * jnp.asarray(log_rescale, dtype)
     tiny = jnp.finfo(dtype).tiny
     lp = jnp.log(jnp.maximum(site0, tiny)) - sc
     lp = jnp.logaddexp(lp, log_ptn_invar)
     logL = jnp.sum(pattern_weights * lp)
-    s1c = jnp.einsum("ckp,ck->cp", theta, wet * lr, precision=HIGHEST)
-    s2c = jnp.einsum("ckp,ck->cp", theta, wet * lr * lr, precision=HIGHEST)
+    s1c = (theta * (wet * lr)[..., None]).sum(-2)
+    s2c = (theta * (wet * lr * lr)[..., None]).sum(-2)
     inv_scaled = jnp.exp(log_ptn_invar + sc)
     denom = site0 + inv_scaled
     d1p = s1c / denom                                # [C, P]

@@ -129,7 +129,8 @@ class DistributedSearch:
                  n_nni_trees: int = 10, pop_size: int = 5,
                  round_size: int | None = None, n_rounds: int = 4,
                  pertub_strength: float = 0.5, ufboot=None,
-                 log=lambda s: None):
+                 log=lambda s: None, constraint=None,
+                 slice_ufboot: bool = True):
         self.eng = eng
         self.aln = aln
         self.gossip = gossip
@@ -144,6 +145,15 @@ class DistributedSearch:
         self.cands = CandidateSet(max_size=n_nni_trees, max_top=pop_size)
         self.ufboot = ufboot
         self.log = log
+        self.constraint = constraint   # -g topology constraint (enforced
+        #                                in starts, perturbation and NNI)
+        if ufboot is not None and slice_ufboot and nranks > 1:
+            # distributed UFBoot: each rank RELL-updates only its
+            # replicate slice; the gossip champion-merge fills the rest
+            # (reference: tree/iqtree.cpp:352-362 sample ranges)
+            R = ufboot.n_replicates
+            ufboot.set_replicate_slice(rank * R // nranks,
+                                       (rank + 1) * R // nranks)
 
     # ------------------------------------------------------------ helpers
     def _iter_result(self, i: int, snapshot: list[tuple[str, float]]):
@@ -153,8 +163,9 @@ class DistributedSearch:
         k = min(self.pop_size, len(snapshot))
         nwk, _ = snapshot[rng.integers(0, k)]
         t = Tree.from_newick(nwk, self.aln.names)
-        random_nnis(t, rng, self.strength)
-        res = nni_optimize(self.eng, t, loglh_epsilon=0.001)
+        random_nnis(t, rng, self.strength, constraint=self.constraint)
+        res = nni_optimize(self.eng, t, loglh_epsilon=0.001,
+                           constraint=self.constraint)
         lp = None
         if self.ufboot is not None:
             _, lp = self.eng.site_lp(t)
@@ -199,7 +210,8 @@ class DistributedSearch:
             if i % self.nranks != self.rank:
                 continue
             rng = np.random.default_rng((self.seed, 0x1217, i))
-            t = random_stepwise_addition(self.aln, rng)
+            t = random_stepwise_addition(self.aln, rng,
+                                         constraint=self.constraint)
             logL = self.eng.optimize_branches(t, n_rounds=4)
             if self.ufboot is not None:
                 _, lp = self.eng.site_lp(t)

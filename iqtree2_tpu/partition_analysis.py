@@ -329,6 +329,13 @@ def run_unlinked_topology_analysis(params: Params) -> dict:
                              params.seqtype)
     log(f"Topology-unlinked analysis (-S): {sa.n_partitions} loci, "
         f"{sa.ntaxa} taxa")
+    if params.boot_spec:
+        # -bsam GENE/GENESITE resamples ACROSS loci — meaningless inside
+        # a single-locus sub-run (round-4 ADVICE.md item 3)
+        raise SystemExit("ERROR: -bsam cannot be combined with -S "
+                         "(each locus is analyzed as a single "
+                         "alignment); use -p for partition-resampled "
+                         "bootstrap")
     trees, rows = [], []
     total = 0.0
     for p, name, pmodel in zip(sa.partitions, sa.part_names,
@@ -344,6 +351,11 @@ def run_unlinked_topology_analysis(params: Params) -> dict:
             log(f"===> locus {name}: {p.nsites} sites, model "
                 f"{sub.model}")
             res = run_analysis(sub)
+        if "tree" not in res:
+            raise SystemExit(
+                f"ERROR: model '{sub.model}' is not supported with -S "
+                f"(locus {name}: the analysis mode returns no single "
+                "tree)")
         logL = res["logL"]
         total += logL
         trees.append((name, res["tree"]))

@@ -45,22 +45,29 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
                  blen_rounds: int = 4,
                  nni5: bool = True,
                  constraint=None,
-                 verbose: bool = False) -> NNIResult:
+                 verbose: bool = False,
+                 want_lp: bool = False):
     """Hill-climb with NNI moves until no improving move remains.
 
     nni5=True (the reference default, params.nni5) scores each candidate
     with all five surrounding branches re-optimized and applies those
     lengths on acceptance. Mutates ``tree`` in place; returns the final
     logL.
+
+    On a LikelihoodEngine each round is ONE fused device dispatch
+    (branch optimization + NNI scoring + optional site lp — see
+    engine._opt_nni_flat_jit); ~80 ms of tunnel latency per avoided
+    pull.  want_lp=True additionally returns the final tree's
+    per-pattern log-likelihoods (for UFBoot RELL collection) computed
+    in the same dispatch: returns (NNIResult, lp) instead of NNIResult.
     """
     total_applied = 0
-    logL = eng.optimize_branches(tree, n_rounds=blen_rounds)
-    rnd = 0
     # NNI5 is universal for LikelihoodEngine (reversible via theta,
     # nonreversible via expm derivatives — reference applies it to all
     # models, tree/phylotree.cpp:4058); engines without 5-branch support
     # (partition/mixlen) announce the NNI1 downgrade instead of hiding it
     use5 = nni5 and hasattr(eng, "evaluate_nni_batch")
+    fused = hasattr(eng, "optimize_and_evaluate_nnis")
     if use5 and not _supports_nni5(eng):
         use5 = False
         if nni5 and not getattr(eng, "_warned_nni1", False):
@@ -68,6 +75,12 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
             print(f"NOTE: {type(eng).__name__} scores NNIs on the central "
                   "branch only (NNI1); five-branch re-optimization is not "
                   "implemented for this engine")
+    logL = None if fused else eng.optimize_branches(tree,
+                                                    n_rounds=blen_rounds)
+    lp = None
+    rnd = 0
+    applied = 0
+    dirty = False        # True iff swaps applied after the last optimize
     for rnd in range(1, max_rounds + 1):
         sched = build_schedule(tree)
         cand = build_nni_candidates(tree, sched)
@@ -76,14 +89,33 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
         cand_arrays = jnp.asarray(np.stack(
             [cand.iu, cand.iv, cand.slot_c, cand.edge_id]))
         t5 = None
-        if use5:
-            try:
-                logl, t_opt, t5 = eng.evaluate_nni_batch(
-                    sched, cand_arrays, nni5=True)
-            except TypeError:       # engines without nni5 support
-                use5 = False
-        if t5 is None:
-            logl, t_opt = eng.evaluate_nni_batch(sched, cand_arrays)
+        if fused:
+            out = eng.optimize_and_evaluate_nnis(
+                tree, sched, cand_arrays, n_rounds=blen_rounds,
+                nni5=use5, want_lp=want_lp)
+            if use5:
+                opt_logL, logl, t_opt, t5 = out[:4]
+            else:
+                opt_logL, logl, t_opt = out[:3]
+            if want_lp:
+                lp = out[-1]
+            dirty = False
+            # convergence: this round's optimized logL is what the
+            # unfused flow computed as new_logL at the END of the
+            # previous round
+            if logL is not None and opt_logL - logL < loglh_epsilon:
+                logL = max(opt_logL, logL)
+                break
+            logL = opt_logL
+        else:
+            if use5:
+                try:
+                    logl, t_opt, t5 = eng.evaluate_nni_batch(
+                        sched, cand_arrays, nni5=True)
+                except TypeError:       # engines without nni5 support
+                    use5 = False
+            if t5 is None:
+                logl, t_opt = eng.evaluate_nni_batch(sched, cand_arrays)
 
         base = logl[:, 2]
         gains = logl[:, :2] - base[:, None]
@@ -136,6 +168,12 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
         if applied == 0:
             break
         total_applied += applied
+        dirty = True
+        if fused:
+            if verbose:
+                print(f"  [nni] round {rnd}: applied {applied}, "
+                      f"logL {logL:.4f}")
+            continue      # next round's fused program re-optimizes
         new_logL = eng.optimize_branches(tree, n_rounds=blen_rounds)
         if verbose:
             print(f"  [nni] round {rnd}: applied {applied}, "
@@ -147,4 +185,18 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
             logL = max(new_logL, logL)
             break
         logL = new_logL
-    return NNIResult(logL=logL, n_rounds=rnd, n_applied_total=total_applied)
+    else:
+        rnd = max_rounds
+    if logL is None:      # fused path with no NNI candidates at all
+        logL = eng.optimize_branches(tree, n_rounds=blen_rounds)
+    elif dirty:
+        # exited with fresh swaps: lengths not re-optimized
+        logL = eng.optimize_branches(tree, n_rounds=blen_rounds)
+        lp = None
+    res = NNIResult(logL=logL, n_rounds=rnd,
+                    n_applied_total=total_applied)
+    if want_lp:
+        if lp is None and hasattr(eng, "site_lp"):
+            _, lp = eng.site_lp(tree)
+        return res, lp
+    return res

@@ -145,10 +145,8 @@ class TreeSearch:
         # NNI-polish the best few into proper local optima
         for it in list(self.cands.items[: p.pop_size]):
             t = it.tree.copy()
-            res = nni_optimize(self.eng, t,
-                               loglh_epsilon=p.loglh_epsilon,
-                               constraint=self.constraint)
-            self._save_tree(t, res.logL)
+            res, lp = self._nni_opt(t)
+            self._save_tree(t, res.logL, lp)
             self.cands.update(t, res.logL)
         self.log(f"Initial best logL: {self.cands.best_score():.4f}")
 
@@ -175,9 +173,8 @@ class TreeSearch:
             else:
                 random_nnis(t, self.rng, p.pertub_strength,
                             constraint=self.constraint)
-            res = nni_optimize(self.eng, t, loglh_epsilon=p.loglh_epsilon,
-                               constraint=self.constraint)
-            self._save_tree(t, res.logL)
+            res, lp = self._nni_opt(t)
+            self._save_tree(t, res.logL, lp)
             improved = res.logL > self.cands.best_score() + p.loglh_epsilon
             self.cands.update(t, res.logL)
             if improved:
@@ -198,12 +195,23 @@ class TreeSearch:
                             candidates=self.cands)
 
     # ------------------------------------------------------------- helpers
-    def _save_tree(self, tree: Tree, logL: float) -> None:
+    def _nni_opt(self, t: Tree):
+        """NNI hill-climb; with UFBoot active the final tree's site
+        log-likelihoods ride the same fused dispatch (want_lp)."""
+        want_lp = self.ufboot is not None
+        out = nni_optimize(self.eng, t, loglh_epsilon=self.params.loglh_epsilon,
+                           constraint=self.constraint, want_lp=want_lp)
+        if want_lp:
+            return out
+        return out, None
+
+    def _save_tree(self, tree: Tree, logL: float, lp=None) -> None:
         """Hook every optimized tree into UFBoot RELL scoring
         (reference analog: saveCurrentTree, tree/iqtree.cpp:3553)."""
         if self.ufboot is not None:
             if logL < self.ufboot.logl_cutoff:
                 self.ufboot.n_pruned += 1
                 return
-            _, lp = self.eng.site_lp(tree)
+            if lp is None:
+                _, lp = self.eng.site_lp(tree)
             self.ufboot.add_tree(tree, lp, tree_logL=logL)

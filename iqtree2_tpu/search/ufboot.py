@@ -77,7 +77,22 @@ class UFBoot:
             self._rell_fn = shard.sharded_rell_fn(mesh)
             self._lp_sharding = NamedSharding(mesh, P(shard.AXIS))
 
+    def set_replicate_slice(self, start: int, end: int) -> None:
+        """Distributed UFBoot: this collector RELL-updates only
+        replicates [start, end) — each rank owns a slice and the BSP
+        gossip champion-merge fills the rest (reference analog: the
+        per-process sample ranges of saveCurrentTree / syncCurrentTree,
+        tree/iqtree.cpp:352-362).  Cuts per-rank RELL work to 1/N."""
+        assert 0 <= start <= end <= self.n_replicates
+        self._slice = (start, end)
+
     def _rell_scores(self, pattern_lp: np.ndarray) -> np.ndarray:
+        sl = getattr(self, "_slice", None)
+        if sl is not None:
+            out = np.full(self.n_replicates, -np.inf)
+            out[sl[0]:sl[1]] = (self.samples[sl[0]:sl[1]]
+                                @ pattern_lp.astype(np.float32))
+            return out
         if getattr(self, "_rell_fn", None) is None:
             return self.samples @ pattern_lp.astype(np.float32)
         import jax
@@ -99,11 +114,14 @@ class UFBoot:
             return
         self.n_scored += 1
         rell = self._rell_scores(pattern_lp)  # [R]
-        if self.n_scored % 100 == 0 and np.isfinite(self.boot_logl).all():
+        sl = getattr(self, "_slice", None)
+        owned = (self.boot_logl if sl is None
+                 else self.boot_logl[sl[0]:sl[1]])
+        if self.n_scored % 100 == 0 and np.isfinite(owned).all():
             # weakest replicate champion minus a generous slack: a tree
             # whose original-weights logL is this far behind cannot
             # plausibly beat any replicate's champion under resampling
-            self.logl_cutoff = float(self.boot_logl.min()) - 100.0
+            self.logl_cutoff = float(owned.min()) - 100.0
         tid = tree.topology_id()
         better = rell > self.boot_logl + self.epsilon
         close = np.abs(rell - self.boot_logl) <= self.epsilon

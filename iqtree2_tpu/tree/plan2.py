@@ -47,10 +47,14 @@ def _bucket_steps(n: int) -> int:
     Coarse buckets keep the kernel shape IDENTICAL across the many
     topologies a tree search visits — each new shape costs a 20-40 s
     remote compile, far more than the padded steps it saves."""
-    if n <= 8:
-        return 8
+    # ONE bucket (16) for everything small: random 17-64-taxon
+    # topologies straddle a height of 8, and an 8/16 flip doubles the
+    # compiled program set — a full extra remote-compile pass costs far
+    # more than 8 padded steps (round-5 search profiling)
+    if n <= 16:
+        return 16
     if n <= 64:
-        b = 8
+        b = 16
         while b < n:
             b *= 2
         return b

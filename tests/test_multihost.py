@@ -61,3 +61,41 @@ def test_two_process_equals_one_process(tmp_path):
     assert ra["tid"] == rb["tid"] == r1["tid"]
     assert abs(ra["logL"] - r1["logL"]) < 1e-9
     assert abs(rb["logL"] - r1["logL"]) < 1e-9
+
+
+def test_ufboot_replicate_slicing():
+    """Distributed UFBoot: each rank RELL-scores only its replicate
+    slice (1/N of the work), and the gossip champion-merge reconstructs
+    the full replicate set (round-4 VERDICT Next #8; reference:
+    tree/iqtree.cpp:352-362 per-process sample ranges)."""
+    import sys
+    sys.path.insert(0, str(REPO) + "/tests")
+    from tests.test_pallas2 import _setup
+    from iqtree2_tpu.search.ufboot import UFBoot
+
+    eng, tree = _setup(8, npat=64, seed=2)
+    R = 40
+    full = UFBoot(eng.aln, n_replicates=R, seed=3)
+    s0 = UFBoot(eng.aln, n_replicates=R, seed=3)
+    s1 = UFBoot(eng.aln, n_replicates=R, seed=3)
+    s0.set_replicate_slice(0, R // 2)
+    s1.set_replicate_slice(R // 2, R)
+
+    rng = np.random.default_rng(0)
+    from iqtree2_tpu.tree.topology import Tree
+    for i in range(6):
+        t = Tree.random_topology(eng.aln.names, rng)
+        logL, lp = eng.site_lp(t)
+        full.add_tree(t, lp, tree_logL=logL)
+        s0.add_tree(t, lp, tree_logL=logL)
+        s1.add_tree(t, lp, tree_logL=logL)
+
+    # per-rank work is confined to the slice
+    assert not np.isfinite(s0.boot_logl[R // 2:]).any()
+    assert not np.isfinite(s1.boot_logl[: R // 2]).any()
+    # champion-merge (max per replicate) reconstructs the full run
+    merged = np.maximum(s0.boot_logl, s1.boot_logl)
+    np.testing.assert_allclose(merged, full.boot_logl, rtol=0, atol=1e-6)
+    for r in range(R):
+        owner = s0 if r < R // 2 else s1
+        assert owner.boot_trees[r] == full.boot_trees[r]
