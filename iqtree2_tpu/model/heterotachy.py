@@ -118,6 +118,8 @@ class MixlenEngine(LikelihoodEngine):
     Fixed-topology evaluation/optimization (the reference's -te +H flow);
     the last optimized mixlen vector set is kept on the engine."""
 
+    _fused_nni = False   # scalar fused NNI round would drop class lengths
+
     def __init__(self, aln, model, rates: RateHeterotachy, **kw):
         super().__init__(aln, model, rates, **kw)
         self.mixlen = rates.ncat
@@ -161,6 +163,101 @@ class MixlenEngine(LikelihoodEngine):
         return float(_class_posterior_jit(
             jnp.asarray(self.blens2, self.dtype), self._dev_tipP, sa,
             self._dev_pack, self._dev_pw)[0])
+
+    # -------------------------------------------------- search integration
+    # The reference searches +H models WITH per-class branch lengths
+    # (PhyloTreeMixlen overrides optimizeOneBranch / optimizeAllBranches,
+    # tree/phylotreemixlen.cpp:338, :736).  These overrides give the
+    # TreeSearch machinery the same semantics: optimize_branches runs the
+    # per-class Newton sweeps, and NNI candidates are scored with
+    # per-class central-branch (NNI1) or five-branch (NNI5) Newton.
+    def _blens2_for(self, tree, sched) -> np.ndarray:
+        """[E, H] start lengths from the tree's stored per-class vectors
+        (tree.blen_h), falling back to scalar x spread for edges without
+        one (fresh edges after an NNI swap)."""
+        H = self.mixlen
+        spread = np.linspace(0.5, 1.5, H)
+        out = np.empty((sched.n_edges, H))
+        from iqtree2_tpu.tree.topology import Tree as _T
+        for e, pair in enumerate(sched.edge_nodes):
+            if pair is None:
+                out[e] = max(sched.blens[e], DEFAULT_MIN_BLEN) * spread
+                continue
+            v = tree.blen_h.get(_T._key(*pair))
+            if v is None or len(v) != H:
+                out[e] = max(sched.blens[e], DEFAULT_MIN_BLEN) * spread
+            else:
+                out[e] = np.maximum(v, DEFAULT_MIN_BLEN)
+        return out
+
+    def _write_blens2(self, tree, sched, b2: np.ndarray) -> None:
+        from iqtree2_tpu.tree.topology import Tree as _T
+        w = self.rates.category_weights()
+        mean_b = (b2 * w[None, :]).sum(1)
+        write_blens_to_tree(tree, sched, mean_b)
+        for e, pair in enumerate(sched.edge_nodes):
+            if pair is not None:
+                tree.blen_h[_T._key(*pair)] = b2[e].copy()
+
+    def optimize_branches(self, tree, n_rounds: int = 10,
+                          n_newton: int = 4,
+                          t_min: float = DEFAULT_MIN_BLEN,
+                          t_max: float = DEFAULT_MAX_BLEN) -> float:
+        """Per-class all-branch Newton sweeps (no EM weight update — the
+        weights are model parameters, refit by optimize_mixlen)."""
+        sched = build_schedule(tree)
+        sa = self.schedule_arrays(sched)
+        b2 = jnp.asarray(self._blens2_for(tree, sched), self.dtype)
+        b2, logL = _optimize_mixlen_jit(
+            b2, self._dev_tipP, sa, self._dev_pack, self._dev_pw,
+            self._dev_scalar(t_min), self._dev_scalar(t_max),
+            n_rounds, n_newton)
+        b2 = np.asarray(b2, np.float64)
+        self._write_blens2(tree, sched, b2)
+        self.blens2 = b2
+        return float(logL)
+
+    def evaluate_nni_batch(self, sched, cand_arrays,
+                           t_min: float = DEFAULT_MIN_BLEN,
+                           t_max: float = DEFAULT_MAX_BLEN,
+                           return_site_lp: bool = False,
+                           nni5: bool = False):
+        """NNI scoring with PER-CLASS branch Newton.  Returns
+        (logl [n,3], t_opt mean [n,3]) and with nni5 also t5 mean
+        [n,3,5]; the full per-class optimized tensors are kept on
+        self.last_t5_h for callers that re-apply class vectors."""
+        from iqtree2_tpu.ops.nni import evaluate_nnis, evaluate_nnis5
+        import jax as _jax
+        tree_for_b2 = getattr(self, "_nni_tree", None)
+        b2 = (self._blens2_for(tree_for_b2, sched)
+              if tree_for_b2 is not None else None)
+        if b2 is None:
+            spread = np.linspace(0.5, 1.5, self.mixlen)
+            b2 = np.maximum(sched.blens[:, None], DEFAULT_MIN_BLEN)                 * spread[None, :]
+        blens2 = jnp.asarray(b2, self.dtype)
+        sa = self.schedule_arrays(sched)
+        P = pruning.transition_tensors(blens2, self._dev_pack)
+        dp, up = pruning.both_passes(P, self._dev_tipP, sa,
+                                     self._dev_pack)
+        cand = jnp.asarray(cand_arrays)
+        w = jnp.asarray(self.rates.category_weights(), self.dtype)
+        if nni5:
+            logl, t5e, t5 = evaluate_nnis5(
+                cand, blens2, dp, up, sa, self._dev_pack, self._dev_pw,
+                self._dev_scalar(t_min), self._dev_scalar(t_max),
+                mixlen=True)
+            logl = np.asarray(logl)
+            t5 = np.asarray(t5)                    # [n, 3, 5, H]
+            self.last_t5_h = t5
+            t5m = (t5 * np.asarray(w)[None, None, None, :]).sum(-1)
+            return logl, t5m[:, :, 4], t5m
+        logl, t_opt, _ = evaluate_nnis(
+            cand, blens2, dp, up.up_in, up.up_scale, sa, self._dev_pack,
+            self._dev_pw, self._dev_scalar(t_min),
+            self._dev_scalar(t_max), mixlen=True)
+        t_opt = np.asarray(t_opt)                  # [n, 3, H]
+        tm = (t_opt * np.asarray(w)[None, None, :]).sum(-1)
+        return np.asarray(logl), tm
 
     def loglik_mixlen(self, tree) -> float:
         sched = build_schedule(tree)

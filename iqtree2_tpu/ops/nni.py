@@ -72,11 +72,13 @@ def build_nni_candidates(tree: Tree, sched: TreeSchedule) -> NNICandidates:
 
 
 @functools.partial(jax.jit, static_argnames=("n_newton", "return_site_lp",
-                                             "nonrev", "axis_name"))
+                                             "nonrev", "axis_name",
+                                             "mixlen"))
 def evaluate_nnis(cand_arrays, blens, dp: pruning.DownPass, up_in, up_scale,
                   sched, pack, pattern_weights, t_min, t_max,
                   n_newton: int = 4, return_site_lp: bool = False,
-                  nonrev: bool = False, axis_name: str | None = None):
+                  nonrev: bool = False, axis_name: str | None = None,
+                  mixlen: bool = False):
     """Score both NNI variants (and the no-swap baseline) for all candidate
     edges at once. Returns (logl [n,3], t_opt [n,3]) where column 2 is the
     re-optimized current topology (baseline). With return_site_lp, also
@@ -117,6 +119,18 @@ def evaluate_nnis(cand_arrays, blens, dp: pruning.DownPass, up_in, up_scale,
                 return score_nonrev(down, s_down, out, s_out)
             theta = pruning.apply_PT(Uc, out) * pruning.apply_P(Vc, down)
             scale = s_down + s_out
+            if mixlen:
+                # per-class central-branch Newton (+H search: reference
+                # overrides optimizeOneBranch with the mixlen Newton,
+                # tree/phylotreemixlen.cpp:338)
+                t_opt = pruning.newton_branch_step_mixlen(
+                    theta, scale, t0, pack, log_ptn_invar,
+                    pattern_weights, t_min, t_max, n_iter=n_newton)
+                logl, _, _ = pruning.branch_lh_derivs_mixlen(
+                    theta, scale, t_opt, pack, log_ptn_invar,
+                    pattern_weights)
+                lp = jnp.zeros((0,), theta.dtype)
+                return logl, t_opt, lp
             t_opt = pruning.newton_branch_step(
                 theta, scale, t0, pack, log_ptn_invar, pattern_weights,
                 t_min, t_max, n_iter=n_newton, axis_name=axis_name)
@@ -160,11 +174,13 @@ def _theta(out, down, Uc, Vc):
 
 
 @functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton",
-                                             "return_site_lp", "nonrev"))
+                                             "return_site_lp", "nonrev",
+                                             "mixlen"))
 def evaluate_nnis5(cand_arrays, blens, dp: pruning.DownPass, up,
                    sched, pack, pattern_weights, t_min, t_max,
                    n_rounds: int = 2, n_newton: int = 2,
-                   return_site_lp: bool = False, nonrev: bool = False):
+                   return_site_lp: bool = False, nonrev: bool = False,
+                   mixlen: bool = False):
     """NNI5 evaluation: for every candidate edge, score both NNI variants
     and the baseline with ALL FIVE surrounding branch lengths re-optimized
     by coordinate Newton rounds (reference: getBestNNIForBran NNI5 mode,
@@ -222,6 +238,11 @@ def evaluate_nnis5(cand_arrays, blens, dp: pruning.DownPass, up,
                 return pruning.newton_branch_step_nonrev(
                     down, out, sc, t, pack, log_ptn_invar,
                     pattern_weights, t_min, t_max, n_iter=n_newton)
+            if mixlen:
+                return pruning.newton_branch_step_mixlen(
+                    _theta(out, down, Uc, Vc), sc, t, pack,
+                    log_ptn_invar, pattern_weights, t_min, t_max,
+                    n_iter=n_newton)
             return pruning.newton_branch_step(
                 _theta(out, down, Uc, Vc), sc, t, pack, log_ptn_invar,
                 pattern_weights, t_min, t_max, n_iter=n_newton)
@@ -291,6 +312,12 @@ def evaluate_nnis5(cand_arrays, blens, dp: pruning.DownPass, up,
                     lp = jnp.zeros((0,), dtype)
                 return logl, ts[4], ts, lp
             theta = _theta(out_e, down_u, Uc, Vc)
+            if mixlen:
+                logl, _, _ = pruning.branch_lh_derivs_mixlen(
+                    theta, sc, ts[4], pack, log_ptn_invar,
+                    pattern_weights)
+                lp = jnp.zeros((0,), dtype)
+                return logl, ts[4], ts, lp
             logl, _, _ = pruning.branch_lh_derivs(
                 theta, sc, ts[4], pack, log_ptn_invar, pattern_weights,
                 order=0)

@@ -209,6 +209,169 @@ def _passes_buffers(blens, tipP, sched, pack):
     return dp, up.up_in, up.up_scale, P
 
 
+def _passes_buffers5(blens, tipP, sched, pack):
+    """Down+up passes -> (DownPass, UpPass, P) with the FULL up buffers
+    (edge outside partials) needed by five-branch NNI evaluation."""
+    P = pruning.transition_tensors(blens.astype(tipP.dtype), pack)
+    dp = pruning.down_pass(P, tipP, sched)
+    up = pruning.up_pass(P, dp, tipP, sched, pack["root_freqs"])
+    return dp, up, P
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton"))
+def _multi_nni5_eval(cand_arrays, blens, rks, buffers, packs, pws, sched,
+                     t_min, t_max, n_rounds: int = 2, n_newton: int = 2):
+    """Five-branch NNI evaluation for LINKED partitions: the (a, b, c,
+    d, e) master lengths around each candidate are re-optimized by
+    coordinate Newton with derivatives summed over partitions through
+    the per-partition rate scalers (the round-4 VERDICT Next #6 gap;
+    reference analog: PhyloSuperTreePlen's per-part NNI bookkeeping,
+    tree/phylosupertreeplen.h:38, tree/phylosupertree.cpp:30-73).
+
+    Returns (logl [n, 3], t_e [n, 3], t5 [n, 3, 5]).
+    """
+    iu, iv, sc_, eid = cand_arrays
+    dtype = buffers[0][0].all.dtype
+    rks_t = [jnp.asarray(r, dtype) for r in rks]
+    child_src = sched["child_src"]
+    child_edge = sched["child_edge"]
+    n_int = child_src.shape[0]
+    L = buffers[0][0].all.shape[0] - n_int
+    thresh, rescale, _ = pruning.scaling_consts(dtype)
+    UVs = [(pack["U"][pack["cat_mix"]], pack["V"][pack["cat_mix"]])
+           for pack in packs]
+
+    def resc(x, sc):
+        mx = x.max(axis=(0, 1))
+        need = mx < thresh
+        return (x * jnp.where(need, rescale, 1.0).astype(dtype),
+                sc + need.astype(jnp.int32))
+
+    def theta_of(k, out, down):
+        Uc, Vc = UVs[k]
+        return pruning.apply_PT(Uc, out) * pruning.apply_P(Vc, down)
+
+    def Pt(k, t):
+        """Per-partition transition at master length t (scaled by rk)."""
+        return pruning.transition_tensors(
+            (t * rks_t[k])[None], packs[k])[0]
+
+    def one(iu_, iv_, sc__, eid_):
+        ea = child_edge[iu_, 0]
+        eb = child_edge[iu_, 1]
+        ec = child_edge[iv_, sc__]
+        is_root = iv_ == n_int - 1
+        ed = jnp.where(is_root, 0, L + iv_)
+        pa = [b[0].all[child_src[iu_, 0]] for b in buffers]
+        sa_ = [b[0].scale[child_src[iu_, 0]] for b in buffers]
+        pb = [b[0].all[child_src[iu_, 1]] for b in buffers]
+        sb = [b[0].scale[child_src[iu_, 1]] for b in buffers]
+        pc = [b[0].all[child_src[iv_, sc__]] for b in buffers]
+        scs_c = [b[0].scale[child_src[iv_, sc__]] for b in buffers]
+        Eds = [b[1].edge_E[ed] for b in buffers]
+        sEds = [b[1].edge_E_scale[ed] for b in buffers]
+        roots = [b[1].up_in[iv_] for b in buffers]
+        sroots = [b[1].up_scale[iv_] for b in buffers]
+        t0 = jnp.stack([blens[ea], blens[eb], blens[ec], blens[ed],
+                        blens[eid_]])
+
+        def newton_joint(outs, downs, scs, t):
+            ths = tuple(theta_of(k, outs[k], downs[k])
+                        for k in range(len(buffers)))
+            return _joint_newton(ths, tuple(scs), t, packs, pws, rks_t,
+                                 t_min, t_max, n_newton)
+
+        def score_variant(px1, sx1, px2, sx2, px3, sx3, idx1, idx2, idx3):
+            def round_body(_, ts):
+                t1, t2, t3 = ts[idx1], ts[idx2], ts[idx3]
+                td, te = ts[3], ts[4]
+                K = len(buffers)
+                m1 = [pruning.apply_P(Pt(k, t1), px1[k]) for k in range(K)]
+                m2 = [pruning.apply_P(Pt(k, t2), px2[k]) for k in range(K)]
+                m3 = [pruning.apply_P(Pt(k, t3), px3[k]) for k in range(K)]
+                out_v, s_out = [], []
+                for k in range(K):
+                    ov = jnp.where(is_root, roots[k],
+                                   pruning.apply_PT(Pt(k, td), Eds[k]))
+                    out_v.append(ov)
+                    s_out.append(jnp.where(is_root, sroots[k], sEds[k]))
+                down_u, s_du, out_e, s_oe = [], [], [], []
+                for k in range(K):
+                    d, sd = resc(m1[k] * m2[k], sx1[k] + sx2[k])
+                    o, so = resc(out_v[k] * m3[k], s_out[k] + sx3[k])
+                    down_u.append(d); s_du.append(sd)
+                    out_e.append(o); s_oe.append(so)
+                te = newton_joint(out_e, down_u,
+                                  [s_du[k] + s_oe[k] for k in range(K)],
+                                  te)
+                m_u = [pruning.apply_P(Pt(k, te), down_u[k])
+                       for k in range(K)]
+                out_3, s_o3 = [], []
+                for k in range(K):
+                    o, so = resc(out_v[k] * m_u[k], s_out[k] + s_du[k])
+                    out_3.append(o); s_o3.append(so)
+                t3 = newton_joint(out_3, px3,
+                                  [s_o3[k] + sx3[k] for k in range(K)],
+                                  t3)
+                out_u = [pruning.apply_PT(Pt(k, te), out_e[k])
+                         for k in range(K)]
+                o1, s_o1 = [], []
+                for k in range(K):
+                    o, so = resc(out_u[k] * m2[k], s_oe[k] + sx2[k])
+                    o1.append(o); s_o1.append(so)
+                t1 = newton_joint(o1, px1,
+                                  [s_o1[k] + sx1[k] for k in range(K)],
+                                  t1)
+                m1 = [pruning.apply_P(Pt(k, t1), px1[k]) for k in range(K)]
+                o2, s_o2 = [], []
+                for k in range(K):
+                    o, so = resc(out_u[k] * m1[k], s_oe[k] + sx1[k])
+                    o2.append(o); s_o2.append(so)
+                t2 = newton_joint(o2, px2,
+                                  [s_o2[k] + sx2[k] for k in range(K)],
+                                  t2)
+                m2 = [pruning.apply_P(Pt(k, t2), px2[k]) for k in range(K)]
+                down_v, s_dv = [], []
+                for k in range(K):
+                    d, sd = resc(m_u[k] * m3[k], s_du[k] + sx3[k])
+                    down_v.append(d); s_dv.append(sd)
+                td_new = newton_joint(Eds, down_v,
+                                      [s_dv[k] + sEds[k]
+                                       for k in range(K)], td)
+                td = jnp.where(is_root, td, td_new)
+                ts = ts.at[idx1].set(t1).at[idx2].set(t2).at[idx3].set(t3)
+                ts = ts.at[3].set(td).at[4].set(te)
+                return ts
+
+            ts = jax.lax.fori_loop(0, n_rounds, round_body, t0)
+            t1, t2, t3 = ts[idx1], ts[idx2], ts[idx3]
+            K = len(buffers)
+            tot = 0.0
+            for k in range(K):
+                m1 = pruning.apply_P(Pt(k, t1), px1[k])
+                m2 = pruning.apply_P(Pt(k, t2), px2[k])
+                m3 = pruning.apply_P(Pt(k, t3), px3[k])
+                ov = jnp.where(is_root, roots[k],
+                               pruning.apply_PT(Pt(k, ts[3]), Eds[k]))
+                so = jnp.where(is_root, sroots[k], sEds[k])
+                d, sd = resc(m1 * m2, sx1[k] + sx2[k])
+                o, soe = resc(ov * m3, so + sx3[k])
+                th = theta_of(k, o, d)
+                lk, _, _ = pruning.branch_lh_derivs(
+                    th, sd + soe, ts[4] * rks_t[k], packs[k],
+                    packs[k]["log_ptn_invar"], pws[k], order=0)
+                tot = tot + lk
+            return tot, ts[4], ts
+
+        l0, te0, ts0 = score_variant(pa, sa_, pc, scs_c, pb, sb, 0, 2, 1)
+        l1, te1, ts1 = score_variant(pb, sb, pc, scs_c, pa, sa_, 1, 2, 0)
+        l2, te2, ts2 = score_variant(pa, sa_, pb, sb, pc, scs_c, 0, 1, 2)
+        return (jnp.stack([l0, l1, l2]), jnp.stack([te0, te1, te2]),
+                jnp.stack([ts0, ts1, ts2]))
+
+    return jax.vmap(one)(iu, iv, sc_, eid)
+
+
 # ------------------------------------------------------------------- engine
 class PartitionEngine:
     """Drop-in engine for partitioned supermatrices (duck-types the parts of
@@ -392,9 +555,23 @@ class PartitionEngine:
     # ------------------------------------------------------------- NNI eval
     def evaluate_nni_batch(self, sched, cand_arrays, t_min=DEFAULT_MIN_BLEN,
                            t_max=DEFAULT_MAX_BLEN,
-                           return_site_lp: bool = False):
+                           return_site_lp: bool = False,
+                           nni5: bool = False):
         sa = self._sched_cache(sched)
         blens = jnp.asarray(sched.blens, self.dtype)
+        if nni5:
+            # five-branch joint coordinate Newton across partitions
+            # (round-4 VERDICT Next #6; _multi_nni5_eval)
+            buffers = []
+            for k, e in enumerate(self.engines):
+                buffers.append(_passes_buffers5(
+                    blens * self._rks()[k], e._dev_tipP, sa, e._dev_pack))
+            logl, t_e, t5 = _multi_nni5_eval(
+                jnp.asarray(cand_arrays), blens, self._rks(),
+                tuple(buffers), self._packs(), self._pws(), sa,
+                jnp.asarray(t_min, self.dtype),
+                jnp.asarray(t_max, self.dtype))
+            return np.asarray(logl), np.asarray(t_e), np.asarray(t5)
         buffers = []
         for k, e in enumerate(self.engines):
             buffers.append(_passes_buffers(blens * self._rks()[k],

@@ -38,6 +38,8 @@ class CandidateSet:
         tid = tree.topology_id()
         canon = Tree.from_newick(tree.to_newick(digits=17),
                                  tree.taxon_names)
+        # per-class (+H) vectors survive the canonicalization round-trip
+        tree.transfer_blen_h(canon)
         for it in self.items:
             if it.topo_id == tid:
                 if logL > it.logL:

@@ -26,10 +26,18 @@ class NNIResult:
 
 
 def _supports_nni5(eng) -> bool:
-    """Engines whose evaluate_nni_batch accepts nni5 (LikelihoodEngine:
-    both reversible and nonreversible packs)."""
+    """Engines whose evaluate_nni_batch accepts nni5: LikelihoodEngine
+    (reversible + nonreversible packs), MixlenEngine (+H models with
+    per-class five-branch Newton — round-4 VERDICT Next #5) and
+    PartitionEngine for LINKED partitions (joint five-branch Newton
+    across parts — round-4 VERDICT Next #6)."""
     from iqtree2_tpu.engine import LikelihoodEngine
-    return type(eng) is LikelihoodEngine
+    from iqtree2_tpu.model.heterotachy import MixlenEngine
+    from iqtree2_tpu.partition.engine import PartitionEngine
+    if type(eng) in (LikelihoodEngine, MixlenEngine):
+        return True
+    return (type(eng) is PartitionEngine
+            and eng.partition_type != "unlinked")
 
 
 def _slot_node(tree: Tree, sched, i_node: int, slot: int) -> int:
@@ -67,7 +75,11 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
     # models, tree/phylotree.cpp:4058); engines without 5-branch support
     # (partition/mixlen) announce the NNI1 downgrade instead of hiding it
     use5 = nni5 and hasattr(eng, "evaluate_nni_batch")
-    fused = hasattr(eng, "optimize_and_evaluate_nnis")
+    # the fused one-dispatch round optimizes SCALAR lengths; engines with
+    # their own length semantics (mixlen) opt out via _fused_nni = False
+    fused = (hasattr(eng, "optimize_and_evaluate_nnis")
+             and getattr(eng, "_fused_nni", True))
+    eng._nni_tree = tree    # per-class engines read tree.blen_h
     if use5 and not _supports_nni5(eng):
         use5 = False
         if nni5 and not getattr(eng, "_warned_nni1", False):
@@ -81,6 +93,17 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
     rnd = 0
     applied = 0
     dirty = False        # True iff swaps applied after the last optimize
+    undo: list | None = None   # (swaps, blen, blen_h) to revert a
+    #                            regressing round (tree and reported logL
+    #                            must stay consistent)
+
+    def _revert():
+        swaps, blen_snap, blen_h_snap = undo
+        for (u_, x_, v_, c_) in reversed(swaps):
+            tree.swap_subtrees(u_, c_, v_, x_)
+        tree.blen = dict(blen_snap)
+        tree.blen_h = dict(blen_h_snap)
+
     for rnd in range(1, max_rounds + 1):
         sched = build_schedule(tree)
         cand = build_nni_candidates(tree, sched)
@@ -102,7 +125,13 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
             dirty = False
             # convergence: this round's optimized logL is what the
             # unfused flow computed as new_logL at the END of the
-            # previous round
+            # previous round.  If the previous round's swaps REGRESSED,
+            # revert them so the returned tree matches the returned logL.
+            if logL is not None and opt_logL < logL - 1e-6 \
+                    and undo is not None:
+                _revert()
+                lp = None
+                break
             if logL is not None and opt_logL - logL < loglh_epsilon:
                 logL = max(opt_logL, logL)
                 break
@@ -124,6 +153,8 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
         order = np.argsort(-best_gain)
         used_nodes: set[int] = set()
         applied = 0
+        swap_log: list[tuple[int, int, int, int]] = []
+        undo = (swap_log, dict(tree.blen), dict(tree.blen_h))
         L = sched.ntaxa
         for ci in order:
             if best_gain[ci] <= loglh_epsilon:
@@ -145,6 +176,7 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
             if constraint is not None and not constraint.compatible(tree):
                 tree.swap_subtrees(u, c, v, x)   # undo: violates -g
                 continue
+            swap_log.append((u, x, v, c))
             tree.set_blen(u, v, float(t_opt[ci, var]))
             if t5 is None:
                 used_nodes.update([u, v])
@@ -179,8 +211,12 @@ def nni_optimize(eng: LikelihoodEngine, tree: Tree,
             print(f"  [nni] round {rnd}: applied {applied}, "
                   f"logL {new_logL:.4f}")
         if new_logL < logL - 1e-6:
-            # should not happen often; keep going but note regression
-            pass
+            # regression: revert this round's swaps and re-optimize so
+            # the returned (tree, logL) pair is consistent
+            _revert()
+            logL = eng.optimize_branches(tree, n_rounds=blen_rounds)
+            dirty = False
+            break
         if new_logL - logL < loglh_epsilon:
             logL = max(new_logL, logL)
             break

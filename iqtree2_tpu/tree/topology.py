@@ -29,6 +29,11 @@ class Tree:
         self.taxon_names = list(taxon_names)
         self.adj: dict[int, list[int]] = defaultdict(list)
         self.blen: dict[tuple[int, int], float] = {}
+        # per-class branch lengths for heterotachy (+H) models: edge key
+        # -> [H] vector; edges absent here fall back to the scalar length
+        # (reference: PhyloTreeMixlen stores lengths per mixture class,
+        # tree/phylotreemixlen.h)
+        self.blen_h: dict[tuple[int, int], "object"] = {}
         self._next_id = len(taxon_names)
 
     # ------------------------------------------------------------- helpers
@@ -40,6 +45,7 @@ class Tree:
         t = Tree(self.taxon_names)
         t.adj = defaultdict(list, {k: list(v) for k, v in self.adj.items()})
         t.blen = dict(self.blen)
+        t.blen_h = dict(self.blen_h)
         t._next_id = self._next_id
         return t
 
@@ -154,6 +160,21 @@ class Tree:
                 side = all_taxa - side
             out[side] = (a, b)
         return out
+
+    def transfer_blen_h(self, dst: "Tree") -> None:
+        """Copy per-class (+H) branch vectors onto ``dst``, which must
+        have the same topology but possibly different node ids (e.g.
+        after a newick round-trip).  Edges are matched by leaf-set
+        split; tip edges by the leaf id."""
+        if not self.blen_h:
+            return
+        src_splits = self.splits(internal_only=False)
+        dst_splits = dst.splits(internal_only=False)
+        for side, (a, b) in src_splits.items():
+            v = self.blen_h.get(self._key(a, b))
+            pair = dst_splits.get(side)
+            if v is not None and pair is not None:
+                dst.blen_h[self._key(*pair)] = v
 
     def robinson_foulds(self, other: "Tree") -> int:
         s1 = set(self.splits().keys())

@@ -11,9 +11,11 @@ from iqtree2_tpu.search.search import SearchParams, TreeSearch
 
 
 def test_tree_search_with_mixlen_engine():
-    """TreeSearch runs with a MixlenEngine (tied lengths during search;
-    reference: PhyloTreeMixlen initializes from the tied-length tree) and
-    the final mixlen EM fit improves on the searched logL."""
+    """TreeSearch runs with a MixlenEngine using PER-CLASS branch
+    lengths throughout (optimize_branches = per-class Newton sweeps,
+    NNI candidates scored by per-class five-branch Newton — reference:
+    PhyloTreeMixlen overrides, tree/phylotreemixlen.cpp:338,:736); the
+    final mixlen EM fit improves on the searched logL."""
     rng = np.random.default_rng(4)
     chars = np.array(list("ACGT"))
     seqs = ["".join(chars[rng.integers(0, 4, 300)]) for _ in range(8)]
@@ -27,6 +29,12 @@ def test_tree_search_with_mixlen_engine():
                       fixed_iterations=1, unsuccess_iteration=2)
     res = TreeSearch(eng, aln, sp, log=lambda *a, **k: None).run()
     assert np.isfinite(res.best_logL)
+    # the search logL IS a per-class optimum: a fixed-topology per-class
+    # refit of the found tree matches it (round-4 VERDICT Next #5 bar)
+    t_fix = res.best_tree.copy()
+    l_fix = eng.optimize_branches(t_fix, n_rounds=10)
+    assert l_fix >= res.best_logL - 1e-6
+    assert l_fix - res.best_logL < 0.5
     l_mix = eng.optimize_mixlen(res.best_tree)
     assert l_mix >= res.best_logL - 1e-6
     assert eng.blens2.shape[1] == 2

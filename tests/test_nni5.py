@@ -112,3 +112,68 @@ def test_nni5_nonrev_matches_applied():
             full = eng.loglik_tree(t)
             assert abs(full - logl5[ci, var]) < 1e-4, \
                 (ci, var, full, logl5[ci, var])
+
+
+def test_nni5_partition_matches_applied():
+    """Partitioned (edge-proportional) NNI5: predicted candidate logLs
+    must equal applying the swap + the five jointly-optimized master
+    lengths and rescoring the supermatrix in f64 (round-4 VERDICT Next
+    #6; reference: PhyloSuperTreePlen, tree/phylosupertreeplen.h:38)."""
+    from iqtree2_tpu.data.superalignment import build_superalignment
+    from iqtree2_tpu.model.factory import build_model
+    from iqtree2_tpu.partition.engine import PartitionEngine
+    from tests.test_partition import _toy_aln
+    from iqtree2_tpu.tree.topology import Tree
+
+    aln = _toy_aln(ntaxa=8, nsites=160, seed=7)
+    half = aln.nsites // 2
+    p1 = aln.subset_sites(np.arange(half))
+    p2 = aln.subset_sites(np.arange(half, aln.nsites))
+    p1.name, p2.name = "a", "b"
+    sa = build_superalignment([p1, p2])
+    models, rates = [], []
+    for spec in ("HKY", "K2P+G"):
+        m, r, _ = build_model(spec, p1)
+        models.append(m)
+        rates.append(r)
+    peng = PartitionEngine(sa, models, rates,
+                           partition_type="edge-proportional",
+                           dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    tree = Tree.random_topology(aln.names, rng)
+    peng.optimize_branches(tree, n_rounds=6)
+    sched = build_schedule(tree)
+    cand = build_nni_candidates(tree, sched)
+    ca = np.stack([cand.iu, cand.iv, cand.slot_c, cand.edge_id])
+    logl5, t_e, t5 = peng.evaluate_nni_batch(sched, ca, nni5=True)
+    logl1, _ = peng.evaluate_nni_batch(sched, ca)
+    # the joint coordinate Newton has no per-branch backtracking, so an
+    # entry can land marginally below the central-only optimum (same
+    # artifact as the nonrev test above); the strict contract is
+    # predicted == applied (below, holds to ~1e-13)
+    assert (logl5 >= logl1 - 0.05).all()
+
+    L = sched.ntaxa
+    for ci in range(min(len(cand.nodes_u), 3)):
+        for var in range(2):
+            t = tree.copy()
+            iu, iv = int(cand.iu[ci]), int(cand.iv[ci])
+            u, v = cand.nodes_u[ci], cand.nodes_v[ci]
+            a_node = _slot_node(t, sched, iu, 0)
+            b_node = _slot_node(t, sched, iu, 1)
+            moved_slot = 1 if var == 0 else 0
+            x = _slot_node(t, sched, iu, moved_slot)
+            c = _slot_node(t, sched, iv, int(cand.slot_c[ci]))
+            t.swap_subtrees(u, x, v, c)
+            tv5 = t5[ci, var]
+            t.set_blen(u, v, float(t_e[ci, var]))
+            kept = a_node if var == 0 else b_node
+            t.set_blen(kept, u, float(tv5[0] if var == 0 else tv5[1]))
+            t.set_blen(c, u, float(tv5[2]))
+            t.set_blen(x, v, float(tv5[moved_slot]))
+            if iv != sched.n_int - 1:
+                vp = sched.edge_nodes[L + iv][1]
+                t.set_blen(v, vp, float(tv5[3]))
+            full = peng.loglik_tree(t)
+            assert abs(full - logl5[ci, var]) < 1e-5, \
+                (ci, var, full, logl5[ci, var])
