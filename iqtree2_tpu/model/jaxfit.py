@@ -620,7 +620,7 @@ def try_fit_batch(eng, tree, pairs, epsilon: float = 0.1,
 
 def try_fit(eng, tree, fix_model: bool = False, fix_rates: bool = False,
             fix_blens: bool = False, epsilon: float = 0.01,
-            dtype=None) -> float | None:
+            dtype=None, max_iters: int | None = None) -> float | None:
     """Joint device fit of (model params, branch lengths) on one topology.
 
     Returns the final logL (computed at the fit precision) and mutates the
@@ -673,11 +673,12 @@ def try_fit(eng, tree, fix_model: bool = False, fix_rates: bool = False,
         if dtype == jnp.float64 and not jax.config.jax_enable_x64:
             stack.enter_context(jax.enable_x64(True))
         return _run_fit(eng, tree, sched, spec, dtype, fix_model,
-                        fix_rates, fix_blens, epsilon)
+                        fix_rates, fix_blens, epsilon,
+                        max_iters=max_iters)
 
 
 def _run_fit(eng, tree, sched, spec, dtype, fix_model, fix_rates,
-             fix_blens, epsilon):
+             fix_blens, epsilon, max_iters: int | None = None):
     from iqtree2_tpu.tree.schedule import write_blens_to_tree
     Pp = eng.Pp
 
@@ -710,7 +711,8 @@ def _run_fit(eng, tree, sched, spec, dtype, fix_model, fix_rates,
     _SPECS[key] = spec
     # quick mode (model screening): L-BFGS converges the logL to well
     # under the selection granularity long before the gradient flattens
-    max_iters = 400 if epsilon < 0.05 else 25
+    if max_iters is None:
+        max_iters = 400 if epsilon < 0.05 else 25
     gtol = 1e-4 if epsilon < 0.05 else 0.05
     if dtype == jnp.float32:
         gtol = max(gtol, 1e-2)

@@ -26,7 +26,8 @@ def optimize_model_parameters(eng: LikelihoodEngine, tree: Tree,
                               epsilon: float = DEFAULT_MODEL_EPS,
                               max_rounds: int = 100,
                               blen_rounds: int = 8,
-                              verbose: bool = False) -> float:
+                              verbose: bool = False,
+                              screen_iters: int | None = None) -> float:
     """Optimize (model params, rate params, branch lengths) jointly in place.
 
     Returns the final log-likelihood.
@@ -36,7 +37,8 @@ def optimize_model_parameters(eng: LikelihoodEngine, tree: Tree,
     # finite-difference host loop below; see model/jaxfit.py)
     from iqtree2_tpu.model import jaxfit
     fitted = jaxfit.try_fit(eng, tree, fix_model=fix_model,
-                            fix_rates=fix_rates, epsilon=epsilon)
+                            fix_rates=fix_rates, epsilon=epsilon,
+                            max_iters=screen_iters)
     if fitted is not None:
         if verbose:
             print(f"  [model-opt] device L-BFGS fit: logL {fitted:.4f}")

@@ -134,13 +134,17 @@ def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
     # (reference analog: ModelFinder reuses previous estimates,
     # main/phylotesting.cpp:775 init_* plumbing)
     warm: dict = {"exch": None, "alpha": None, "pinv": None}
+    # ONE engine serves the whole grid: the alignment/pattern setup and
+    # device tip uploads are model-independent, and refresh_model()
+    # rebuilds just the model pack (~0.13 s saved per candidate)
+    shared_eng: dict = {}
 
     # NOTE: a vmapped batch screen (jaxfit.try_fit_batch) was measured
     # SLOWER on the 2-core host than sequential warm-started fits (the
     # batched while_loop runs every candidate to the slowest's schedule);
     # it remains available for accelerator-resident screening.
 
-    def evaluate(name: str) -> dict | None:
+    def evaluate(name: str, quick: bool = False) -> dict | None:
         nonlocal blen_cache
         if ckp is not None and ckp.has(name):
             return ckp.get(name)
@@ -163,8 +167,16 @@ def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
                 and not getattr(rates, "fix_pinv", False) \
                 and rates.p_invar > 0:
             rates._p_invar = min(warm["pinv"], 0.8)
-        eng = LikelihoodEngine(aln, model, rates, dtype=jnp.float32,
-                               asc=extras.get("asc", False))
+        asc = extras.get("asc", False)
+        eng = shared_eng.get(asc)
+        if eng is None:
+            eng = LikelihoodEngine(aln, model, rates, dtype=jnp.float32,
+                                   asc=asc)
+            shared_eng[asc] = eng
+        else:
+            eng.model = model
+            eng.rates = rates
+            eng.refresh_model()
         t = tree.copy()
         if blen_cache is not None:
             for k, v in blen_cache.items():
@@ -172,7 +184,7 @@ def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
                     t.blen[k] = v
         logL = optimize_model_parameters(
             eng, t, epsilon=max(params.model_eps, 0.1), max_rounds=3,
-            blen_rounds=4)
+            blen_rounds=4, screen_iters=8 if quick else None)
         if blen_cache is None:
             blen_cache = dict(t.blen)
         if type(model) is GTRModel and not model.fixed_rates:
@@ -185,7 +197,9 @@ def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
               + t.num_edges())
         entry = {"name": name, "logL": float(logL), "df": int(df)}
         entry.update(information_scores(logL, df, aln.nsites))
-        if ckp is not None:
+        if quick:
+            entry["_screened"] = True
+        elif ckp is not None:
             ckp.put(name, entry)
             ckp.dump()
         return entry
@@ -221,16 +235,36 @@ def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
         return {"best": results[0]["name"], "criterion": criterion,
                 "table": results}
 
+    # TWO-STAGE screen (round-4 VERDICT Next #4): a quick 8-iteration
+    # warm-started pass ranks the whole grid (every fit was measured to
+    # hit its iteration cap, so capping earlier scales the wall almost
+    # linearly), then the top candidates are refit to the normal
+    # schedule so the reported winner and its scores are converged.
+    # Reference analog: ModelFinder's own staged epsilons
+    # (main/phylotesting.cpp:2836 runs a cruder tree for screening).
+    stage1: list[dict] = []
     for base in bases:
-        bad_base = False
         for r in base_rates:
-            entry = evaluate(base + r)
+            entry = evaluate(base + r, quick=True)
             if entry is None:
-                bad_base = True
                 break
-            results.append(entry)
+            stage1.append(entry)
             log(f"  {entry['name']:<18} logL {entry['logL']:.3f}  "
-                f"BIC {entry['BIC']:.3f}")
+                f"BIC {entry['BIC']:.3f}  (screen)")
+    stage1.sort(key=lambda e: e[criterion])
+    top_k = 8
+    refit = {e["name"] for e in stage1[:top_k]}
+    log(f"Refitting top {len(refit)} of {len(stage1)} screened models "
+        f"({criterion})...")
+    for e in stage1:
+        if e["name"] in refit:
+            full = evaluate(e["name"])
+            if full is not None:
+                e = full
+        results.append(e)
+        if e["name"] in refit:
+            log(f"  {e['name']:<18} logL {e['logL']:.3f}  "
+                f"BIC {e['BIC']:.3f}")
     if lazy_rk:
         # lazy +Rk expansion, batched ACROSS bases per k: every still-
         # improving base's +Rk fits share one vmapped dispatch
@@ -241,7 +275,7 @@ def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
             if not live:
                 break
             for b in live:
-                entry = evaluate(f"{b}+R{k}")
+                entry = evaluate(f"{b}+R{k}", quick=True)
                 if entry is None:
                     del active[b]
                     continue
@@ -253,6 +287,16 @@ def run_modelfinder(aln: Alignment, params, log=print, ckp=None,
                     del active[b]
                 else:
                     active[b] = entry[criterion]
+    # final refit: any screened entry that made the overall top set gets
+    # the full fit schedule, so the winner and its scores are converged
+    results.sort(key=lambda e: e[criterion])
+    for i, e in enumerate(list(results[:8])):
+        if e.get("_screened"):
+            full = evaluate(e["name"])
+            if full is not None:
+                results[i] = full
+    for e in results:
+        e.pop("_screened", None)
     if ckp is not None:
         ckp.end_struct()
 
