@@ -414,7 +414,15 @@ def run_analysis(params: Params) -> dict:
                 f.write(f"{v:.6f}\n")
 
     # ---------------- outputs --------------------------------------------
-    report_io.write_treefile(f"{prefix}.treefile", tree, support=support)
+    out_root = None
+    if params.outgroup:
+        og0 = params.outgroup.split(",")[0]
+        if og0 not in aln.names:
+            raise SystemExit(f"ERROR: outgroup taxon '{og0}' not found "
+                             f"in alignment")
+        out_root = aln.names.index(og0)
+    report_io.write_treefile(f"{prefix}.treefile", tree, support=support,
+                             root=out_root)
     if params.write_site_lh:
         _, lp = eng.site_lp(tree)
         site_lp = lp[aln.site_to_pattern]
@@ -432,6 +440,32 @@ def run_analysis(params: Params) -> dict:
                 p = aln.site_to_pattern[s]
                 f.write(f"{s + 1}\t{mean_rate[p]:.5f}\t"
                         f"{cat_best[p] + 1}\n")
+    if params.write_site_prob:
+        # -wspr/-wspm/-wspmr: per-site posterior probability of each
+        # rate/mixture category (reference printSiteProbCategory,
+        # main/phyloanalysis.cpp:2225-2226)
+        _, cat_post = eng.site_rate_posterior(tree)
+        C = cat_post.shape[0]
+        mix = np.asarray(eng.pack_np.cat_mix)
+        n_mix = int(mix.max()) + 1
+        mode = params.write_site_prob
+        if mode == "mixture" and n_mix > 1:
+            # sum rate categories within each mixture class
+            agg = np.zeros((n_mix, cat_post.shape[1]))
+            for c in range(C):
+                agg[mix[c]] += cat_post[c]
+            cols, post = ([f"p{m + 1}" for m in range(n_mix)], agg)
+        else:
+            cols = [f"p{c + 1}" for c in range(C)]
+            post = cat_post
+        with open(f"{prefix}.siteprob", "w") as f:
+            f.write("Site\t" + "\t".join(cols) + "\n")
+            for s in range(aln.nsites):
+                p = aln.site_to_pattern[s]
+                f.write(f"{s + 1}\t" + "\t".join(
+                    f"{post[c, p]:.5f}" for c in range(post.shape[0]))
+                    + "\n")
+        log(f"Site category posteriors written to {prefix}.siteprob")
     if params.write_ml_rate:
         from iqtree2_tpu.siterates import site_rates_ml, write_mlrate
         mlr, _ = site_rates_ml(eng, tree)
@@ -469,19 +503,58 @@ def run_analysis(params: Params) -> dict:
 
     # ---------------- time tree (--date) ----------------------------------
     if params.date_file:
-        from iqtree2_tpu.timetree import (date_tree, parse_date_file,
-                                          timetree_newick)
-        dates = parse_date_file(Path(params.date_file).read_text(),
-                                aln.names)
+        from iqtree2_tpu.timetree import (date_tree, date_tree_ci,
+                                          dates_from_names,
+                                          outgroup_root_edge,
+                                          parse_date_file,
+                                          timetree_newick, timetree_nexus,
+                                          write_lsd_report)
+        if params.date_file == "TAXNAME":
+            dates = dates_from_names(aln.names)
+        else:
+            dates = parse_date_file(Path(params.date_file).read_text(),
+                                    aln.names)
+        root_edge = None
+        if params.outgroup:
+            root_edge = outgroup_root_edge(
+                tree, params.outgroup.split(","), aln.names)
+            if params.date_no_outgroup:
+                # LSD -G: root on the outgroup edge but keep outgroup
+                # tips out of the WLS fit
+                og = {aln.names.index(n)
+                      for n in params.outgroup.split(",")}
+                dates = {k: v for k, v in dates.items() if k not in og}
+        fixed_rate = float(params.date_rate) if params.date_rate else None
+        root_date = float(params.date_root) if params.date_root else None
         log(f"Least-squares dating with {len(dates)} tip dates "
             f"(LSD2 analog)...")
-        nd, rate, parent, tt, root = date_tree(tree, dates)
+        nd, rate, parent, tt, root = date_tree(
+            tree, dates, root_edge=root_edge, fixed_rate=fixed_rate,
+            root_date=root_date)
         with open(f"{prefix}.timetree.nwk", "w") as f:
             f.write(timetree_newick(tt, nd, parent, root) + "\n")
+        dci = rci = None
+        if params.date_ci > 0:
+            log(f"Dating confidence intervals: {params.date_ci} "
+                f"branch-resampling replicates (clock sd "
+                f"{params.clock_sd})...")
+            dci, rci = date_tree_ci(
+                tree, dates, seq_len=aln.nsites, n_reps=params.date_ci,
+                clock_sd=params.clock_sd, root_edge=root_edge,
+                fixed_rate=fixed_rate, root_date=root_date,
+                seed=params.seed)
+            search_info["Rate 95% CI"] = (f"[{rci[0]:.6g}, "
+                                          f"{rci[1]:.6g}]")
+        with open(f"{prefix}.timetree.nex", "w") as f:
+            f.write(timetree_nexus(tt.copy(), nd, parent, root,
+                                   aln.names, ci=dci))
+        write_lsd_report(f"{prefix}.timetree.lsd", nd, rate, root, tt,
+                         aln.names, rate_ci=rci, date_ci=dci,
+                         n_reps=params.date_ci)
         search_info["Clock rate (subst/site/time)"] = f"{rate:.6g}"
         search_info["Root date"] = f"{nd[root]:.6g}"
-        log(f"Time tree -> {prefix}.timetree.nwk  rate {rate:.6g}  "
-            f"root date {nd[root]:.6g}")
+        log(f"Time tree -> {prefix}.timetree.nwk/.nex/.lsd  "
+            f"rate {rate:.6g}  root date {nd[root]:.6g}")
 
     elapsed = time.time() - t_start
     report_io.write_iqtree_report(

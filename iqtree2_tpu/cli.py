@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
 
 from iqtree2_tpu.params import Params
 
@@ -114,8 +115,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="YAML model/datatype definition file "
                         "(phylo-yaml analog)")
     p.add_argument("--date", dest="date_file", default="",
-                   help="tip-date file for least-squares dating "
+                   help="tip-date file for least-squares dating, or "
+                        "TAXNAME to parse dates from taxon names "
                         "(LSD2 analog, main/timetree.cpp)")
+    p.add_argument("--date-ci", dest="date_ci", type=int, default=0,
+                   help="number of branch-resampling replicates for "
+                        "dating confidence intervals (LSD2 -f)")
+    p.add_argument("--clock-sd", dest="clock_sd", type=float, default=0.2,
+                   help="relaxed-clock lognormal stddev for --date-ci "
+                        "replicates (LSD2 -q)")
+    p.add_argument("--date-root", dest="date_root", default="",
+                   help="fix the root date (LSD2 -a)")
+    p.add_argument("--date-rate", dest="date_rate", default="",
+                   help="fix the clock rate instead of estimating it "
+                        "(LSD2 -w given-rate mode)")
+    p.add_argument("--date-no-outgroup", dest="date_no_outgroup",
+                   action="store_true",
+                   help="root with -o outgroup but exclude it from "
+                        "dating (LSD2 -G)")
+    p.add_argument("-o", dest="outgroup", default="",
+                   help="comma-separated outgroup taxa for rooting "
+                        "the output / time tree")
     p.add_argument("--pmsf", dest="pmsf", action="store_true",
                    help="posterior mean site frequency two-pass for "
                         "profile mixtures (reference: "
@@ -124,6 +144,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-wsl", dest="write_site_lh", action="store_true")
     p.add_argument("-wsr", dest="write_site_rate", action="store_true",
                    help="write per-site posterior mean rates (.rate)")
+    p.add_argument("-wspr", dest="write_site_prob", action="store_const",
+                   const="ratecat", default="",
+                   help="write per-site rate-category posterior "
+                        "probabilities (.siteprob)")
+    p.add_argument("-wspm", dest="write_site_prob", action="store_const",
+                   const="mixture",
+                   help="write per-site mixture-class posteriors "
+                        "(.siteprob)")
+    p.add_argument("-wspmr", "-wsprm", dest="write_site_prob",
+                   action="store_const", const="mixture_ratecat",
+                   help="write per-site mixture+rate category "
+                        "posteriors (.siteprob)")
     p.add_argument("-z", dest="user_trees_file", default="",
                    help="evaluate a set of user trees (topology tests)")
     p.add_argument("-zb", dest="topo_test_replicates", type=int,
@@ -147,6 +179,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-pd", dest="pd_k", type=int, default=0,
                    help="phylogenetic diversity: best k-taxon subset of "
                         "the -t tree (pda/ analog)")
+    p.add_argument("-bud", dest="pd_budget", type=float, default=0.0,
+                   help="PD under a budget: maximize PD with total "
+                        "taxon cost <= BUDGET (pda -bud)")
+    p.add_argument("-cost", dest="pd_cost", default="",
+                   help="taxon cost file for -bud ('taxon cost' lines, "
+                        "pda -cost; default all costs 1)")
+    p.add_argument("-pdsets", dest="pd_sets", default="",
+                   help="score user-defined taxon sets / areas from "
+                        "FILE ('name: t1 t2 ...' lines; pda user-set "
+                        "mode) — with -pd K picks the best K areas")
+    p.add_argument("-endem", dest="pd_endem", action="store_true",
+                   help="with -pdsets: also compute PD endemism per "
+                        "area (pda -endem)")
+    p.add_argument("-comp", dest="pd_comp", default="",
+                   help="with -pdsets: PD complementarity given "
+                        "comma-separated area names (pda -comp)")
     p.add_argument("-con", dest="consensus_of", default="",
                    help="majority-rule consensus of trees in FILE")
     p.add_argument("-r", dest="random_tree_n", type=int, default=0,
@@ -264,17 +312,61 @@ def main(argv=None) -> int:
             f.write(con.to_newick(support=support) + "\n")
         print(f"Majority-rule consensus of {len(trees)} trees -> {out}")
         return 0
-    if getattr(args, "pd_k", 0) > 0:
+    if (getattr(args, "pd_k", 0) > 0 or getattr(args, "pd_budget", 0)
+            or getattr(args, "pd_sets", "")):
         from iqtree2_tpu.analysis import _read_tree_set
-        from iqtree2_tpu.pd import greedy_pd, write_pda_report
+        from iqtree2_tpu.pd import (budget_pd, greedy_pd, greedy_pd_areas,
+                                    parse_cost_file, parse_sets_file,
+                                    pd_complementarity, pd_endemism,
+                                    pd_user_sets, write_pda_report)
         src_t = pr.start_tree or pr.user_tree
         if not src_t:
-            print("error: -pd requires -t TREE", file=sys.stderr)
+            print("error: PD analysis requires -t TREE", file=sys.stderr)
             return 2
         trees = _read_tree_set(src_t, None)
         t = trees[0]
-        taxa, pd, steps = greedy_pd(t, args.pd_k)
         out = (pr.out_prefix or src_t) + ".pda"
+        if getattr(args, "pd_sets", ""):
+            sets = parse_sets_file(Path(args.pd_sets).read_text(),
+                                   t.taxon_names)
+            scores = pd_user_sets(t, sets)
+            with open(out, "w") as f:
+                f.write("PD of user-defined taxon sets/areas "
+                        "(pda user-set mode)\n")
+                for nm, v in scores.items():
+                    f.write(f"  {nm}\tPD = {v:.6f}\n")
+                if args.pd_k > 0:
+                    best, bpd = greedy_pd_areas(t, sets, args.pd_k)
+                    f.write(f"Best {args.pd_k} areas: "
+                            f"{', '.join(best)}  PD = {bpd:.6f}\n")
+                if getattr(args, "pd_endem", False):
+                    f.write("PD endemism per area:\n")
+                    for nm, v in pd_endemism(t, sets).items():
+                        f.write(f"  {nm}\t{v:.6f}\n")
+                if getattr(args, "pd_comp", ""):
+                    given = args.pd_comp.split(",")
+                    f.write(f"PD complementarity given "
+                            f"{args.pd_comp}:\n")
+                    for nm, v in pd_complementarity(t, sets,
+                                                    given).items():
+                        f.write(f"  {nm}\t{v:.6f}\n")
+            print(f"PD set analysis -> {out}")
+            return 0
+        if getattr(args, "pd_budget", 0):
+            costs = {}
+            if getattr(args, "pd_cost", ""):
+                costs = parse_cost_file(Path(args.pd_cost).read_text(),
+                                        t.taxon_names)
+            taxa, pd = budget_pd(t, args.pd_budget, costs)
+            with open(out, "w") as f:
+                f.write(f"Budgeted phylogenetic diversity (tree "
+                        f"knapsack DP)\nbudget = {args.pd_budget:g}  "
+                        f"PD = {pd:.6f}\nTaxa:\n")
+                for x in taxa:
+                    f.write(f"  {t.taxon_names[x]}\n")
+            print(f"Budget PD (B={args.pd_budget:g}): {pd:.6f} -> {out}")
+            return 0
+        taxa, pd, steps = greedy_pd(t, args.pd_k)
         write_pda_report(out, t, taxa, pd, steps)
         print(f"Greedy PD (k={args.pd_k}): {pd:.6f} -> {out}")
         return 0

@@ -15,8 +15,11 @@ import numpy as np
 import iqtree2_tpu
 
 
-def write_treefile(path, tree, support=None) -> None:
-    Path(path).write_text(tree.to_newick(support=support) + "\n")
+def write_treefile(path, tree, support=None, root=None) -> None:
+    """root: leaf id to print the (unrooted) newick from — the -o
+    outgroup display-rooting convention of the reference."""
+    Path(path).write_text(
+        tree.to_newick(support=support, root=root) + "\n")
 
 
 def _fmt_matrix(Q: np.ndarray, states: str) -> str:

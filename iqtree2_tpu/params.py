@@ -67,6 +67,7 @@ class Params:
     do_au_test: bool = False          # -au
     do_asr: bool = False              # -asr (ancestral state reconstruction)
     write_site_rate: bool = False     # -wsr (.rate)
+    write_site_prob: str = ""         # -wspr/-wspm/-wspmr (.siteprob)
     write_ml_dist: bool = False       # -mldist (.mldist matrix)
     lmap_quartets: int = 0            # -lmap (likelihood mapping)
     gcf_tree_file: str = ""           # --gcf (gene trees for gCF)
@@ -83,6 +84,12 @@ class Params:
     write_site_lh: bool = False       # -wsl
     pmsf: bool = False                # --pmsf (two-pass site frequencies)
     date_file: str = ""               # --date (tip dates for LSD dating)
+    date_ci: int = 0                  # --date-ci (CI replicates, LSD -f)
+    clock_sd: float = 0.2             # --clock-sd (relaxed sd, LSD -q)
+    date_root: str = ""               # --date-root (root date, LSD -a)
+    date_rate: str = ""               # --date-rate (given rate, LSD -w)
+    date_no_outgroup: bool = False    # --date-no-outgroup (LSD -G)
+    outgroup: str = ""                # -o (outgroup taxa, comma-sep)
     mdef_file: str = ""               # --mdef (YAML model definitions)
     # simulation (AliSim)
     alisim: str = ""                  # --alisim output prefix

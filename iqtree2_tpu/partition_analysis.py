@@ -506,19 +506,31 @@ def run_partition_analysis(params: Params) -> dict:
     # terrace analysis: partition coverage can make the ML tree one of
     # many likelihood-identical trees (reference: runterraceanalysis,
     # main/terraceanalysis.cpp:18)
-    from iqtree2_tpu.terrace import (check_terrace, coverage_taxa_sets,
+    from iqtree2_tpu.terrace import (check_terrace, count_terrace_exact,
+                                     coverage_taxa_sets,
                                      enumerate_terrace,
                                      write_terrace_report)
     tsets = coverage_taxa_sets(sa)
     if any(len(s) < sa.ntaxa for s in tsets):
-        on_t = check_terrace(tree, tsets)
-        size_lb = enumerate_terrace(tree, tsets, cap=200) if on_t else 1
-        write_terrace_report(f"{prefix}.terrace", on_t, size_lb, 200,
-                             tsets)
-        if on_t:
-            log(f"WARNING: the ML tree lies on a terrace of >= {size_lb} "
-                f"equally-scoring trees (partition coverage gaps); "
-                f"see {prefix}.terrace")
+        exact = count_terrace_exact(tree, tsets)
+        if exact is not None:
+            on_t = exact > 1
+            write_terrace_report(f"{prefix}.terrace", on_t, exact, 0,
+                                 tsets, exact=True)
+            if on_t:
+                log(f"WARNING: the ML tree lies on a terrace of exactly "
+                    f"{exact} equally-scoring trees (partition coverage "
+                    f"gaps); see {prefix}.terrace")
+        else:
+            on_t = check_terrace(tree, tsets)
+            size_lb = (enumerate_terrace(tree, tsets, cap=200)
+                       if on_t else 1)
+            write_terrace_report(f"{prefix}.terrace", on_t, size_lb, 200,
+                                 tsets)
+            if on_t:
+                log(f"WARNING: the ML tree lies on a terrace of >= "
+                    f"{size_lb} equally-scoring trees (partition "
+                    f"coverage gaps); see {prefix}.terrace")
     elapsed = time.time() - t_start
     report_io.write_partition_report(
         f"{prefix}.iqtree", params=params, sa=sa, peng=peng,

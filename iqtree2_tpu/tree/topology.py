@@ -311,6 +311,10 @@ class Tree:
                   support: dict[tuple[int, int], float] | None = None) -> str:
         if root is None:
             root = self._default_root()
+        elif self.is_leaf(root) and self.adj[root]:
+            # printing "from" a leaf (e.g. -o outgroup display rooting):
+            # start at its neighbor so the outgroup leads the newick
+            root = next(iter(self.adj[root]))
         buf = io.StringIO()
 
         def fmt(x: float) -> str:

@@ -220,3 +220,120 @@ def test_whtest_discriminates():
     stat_hom = wh_statistic(aln)
     stat_het = wh_statistic(aln_h)
     assert stat_het > stat_hom
+
+
+def test_terrace_exact_count_matches_bfs():
+    """Exact supertree counting (terraphast analog) agrees with the BFS
+    enumeration on small cases (reference: /root/reference/terraphast)."""
+    from iqtree2_tpu.terrace import count_terrace_exact, enumerate_terrace
+    rng = np.random.default_rng(11)
+    names = [f"t{i}" for i in range(7)]
+    checked = 0
+    for trial in range(12):
+        t = Tree.random_topology(names, rng)
+        sets = []
+        for _ in range(int(rng.integers(2, 4))):
+            keep = {0} | {i for i in range(1, 7) if rng.random() < 0.7}
+            if len(keep) < 4:
+                keep |= {1, 2, 3}
+            sets.append(keep)
+        exact = count_terrace_exact(t, sets)
+        assert exact is not None
+        assert exact == enumerate_terrace(t, sets, cap=100000)
+        checked += 1
+    assert checked == 12
+    # full coverage => singleton terrace
+    t = Tree.random_topology(names, rng)
+    assert count_terrace_exact(t, [set(range(7))] * 2) == 1
+    # no comprehensive taxon => falls back (None)
+    assert count_terrace_exact(t, [{0, 1, 2, 3}, {3, 4, 5, 6},
+                                   {1, 2, 5, 6}]) is None
+
+
+def test_budget_pd_exact():
+    """Tree-knapsack budget PD equals brute force (reference: pda -bud)."""
+    import itertools
+    from iqtree2_tpu.pd import budget_pd
+    rng = np.random.default_rng(21)
+    names = [f"t{i}" for i in range(7)]
+    for trial in range(8):
+        t = Tree.random_topology(names, rng)
+        for (a, b) in list(t.blen):
+            t.set_blen(a, b, float(rng.uniform(0.1, 2.0)))
+        costs = {i: int(rng.integers(1, 4)) for i in range(7)}
+        B = int(rng.integers(3, 10))
+        sel, val = budget_pd(t, B, costs)
+        best = 0.0
+        for r in range(2, 8):
+            for combo in itertools.combinations(range(7), r):
+                if sum(costs[i] for i in combo) <= B:
+                    best = max(best, pd_score(t, list(combo)))
+        assert abs(val - best) < 1e-9
+        assert sum(costs[i] for i in sel) <= B
+        assert abs(pd_score(t, sel) - val) < 1e-9
+
+
+def test_pd_areas_endemism_complementarity():
+    from iqtree2_tpu.pd import (greedy_pd_areas, pd_complementarity,
+                                pd_endemism, pd_user_sets)
+    rng = np.random.default_rng(31)
+    names = [f"t{i}" for i in range(8)]
+    t = Tree.random_topology(names, rng)
+    areas = {"A": [0, 1, 2], "B": [3, 4], "C": [5, 6, 7]}
+    scores = pd_user_sets(t, areas)
+    assert all(v >= 0 for v in scores.values())
+    best, bpd = greedy_pd_areas(t, areas, 2)
+    assert len(best) == 2 and bpd > 0
+    # endemism of an area <= its PD; complementarity non-negative
+    en = pd_endemism(t, areas)
+    for nm in areas:
+        assert -1e-12 <= en[nm] <= scores[nm] + 1e-12
+    comp = pd_complementarity(t, areas, ["A"])
+    assert set(comp) == {"B", "C"}
+    assert all(v >= -1e-12 for v in comp.values())
+    # complementarity = PD(A+X) - PD(A)
+    from iqtree2_tpu.pd import pd_score as ps
+    assert abs(comp["B"] - (ps(t, [0, 1, 2, 3, 4]) - ps(t, [0, 1, 2]))) \
+        < 1e-9
+
+
+def test_dating_fixed_rate_outgroup_and_ci():
+    """Given-rate mode pins omega; outgroup rooting picks the right
+    edge; CIs bracket the point estimates (reference: LSD2 -w/-g/-f,
+    main/timetree.cpp:216-249)."""
+    from iqtree2_tpu.timetree import (date_tree, date_tree_ci,
+                                      dates_from_names,
+                                      outgroup_root_edge)
+    rate = 0.02
+    names = ["t0", "t1", "t2", "t3"]
+    t = Tree(names)
+    A, B = t.new_node(), t.new_node()
+    t.add_edge(A, 0, 5 * rate)
+    t.add_edge(A, 1, 3 * rate)
+    t.add_edge(B, 2, 2 * rate)
+    t.add_edge(B, 3, 6 * rate)
+    t.add_edge(A, B, 6 * rate)
+    tip_dates = {0: 8.0, 1: 6.0, 2: 5.0, 3: 9.0}
+    # fixed-rate: pinning the true rate must keep the exact solution
+    d, r, parent, tt, root = date_tree(t, tip_dates, root_edge=(A, B),
+                                       fixed_rate=rate)
+    assert abs(r - rate) / rate < 1e-3
+    assert abs(d[A] - 3.0) < 1e-4
+    # root_date pin
+    d2, _, _, _, root2 = date_tree(t, tip_dates, root_edge=(A, B),
+                                   root_date=0.0)
+    assert abs(d2[root2] - 0.0) < 1e-4
+    # outgroup rooting: t3 as outgroup -> edge (B, 3)
+    a, b = outgroup_root_edge(t, ["t3"], names)
+    assert {a, b} == {B, 3}
+    # two-taxon outgroup {t2, t3} -> the (A, B) edge
+    a, b = outgroup_root_edge(t, ["t2", "t3"], names)
+    assert {a, b} == {A, B}
+    # CIs: replicates bracket the point estimate
+    ci, rci = date_tree_ci(t, tip_dates, seq_len=5000, n_reps=40,
+                           clock_sd=0.0, root_edge=(A, B), seed=7)
+    assert rci[0] <= rate * 1.05 and rci[1] >= rate * 0.95
+    assert root in ci or len(ci) > 0
+    # TAXNAME date extraction
+    d = dates_from_names(["a|2001.5", "b", "c|1999"])
+    assert d == {0: 2001.5, 2: 1999.0}
