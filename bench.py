@@ -186,6 +186,42 @@ def time_loglik(eng, tree, n_evals=8, chain=256, reps=3, k_chains=3):
              "unstable": unstable})
 
 
+def time_blen_opt_device(eng, tree, n_rounds=10, k=4):
+    """Device-side wall per branch optimization: k chained dependent
+    dispatches ended by ONE real byte fetch (work conservation), so the
+    ~30 ms size-independent blocking-pull RTT of the tunnel is amortized
+    across k optimizations instead of charged to each. This is the
+    number a directly-attached TPU would see (see PERF_NOTES 'Tunnel RTT
+    floor')."""
+    import jax.numpy as jnp
+
+    from iqtree2_tpu import engine as E
+    from iqtree2_tpu.tree.schedule import build_schedule
+
+    sched = build_schedule(tree)
+    sa = eng.schedule_arrays(sched)
+    blens = jnp.asarray(np.maximum(sched.blens, 1e-6), eng.dtype)
+    kind = eng._opt_kind(sa)
+    tmin = eng._dev_scalar(1e-6)
+    tmax = eng._dev_scalar(10.0)
+
+    def call(b):
+        return E._opt_flat_jit(b, eng._dev_tipP, sa, eng._dev_pack,
+                               eng._dev_pw, tmin, tmax, kind=kind,
+                               n_rounds=n_rounds)
+    np.asarray(call(blens))               # compile + settle
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = blens
+        for i in range(k):
+            o = call(o[:-1] * jnp.float32(1.0 + 1e-7 * i))
+        np.asarray(o)
+        walls.append((time.perf_counter() - t0) / k)
+    walls.sort()
+    return walls[1]
+
+
 def time_blen_opt(eng, tree, n_rounds=10):
     """Wall for one full branch-length optimization (the vs_baseline task).
 
@@ -305,6 +341,7 @@ def main():
     hbm_gbs = hbm_bytes / sec_per_eval / 1e9
 
     opt_wall, opt_logL = time_blen_opt(eng, tree)
+    opt_dev = time_blen_opt_device(eng, tree)
 
     # 1000-taxon secondary config
     eng2, tree2 = make_problem(ntaxa=1000, npat=NPAT, seed=777)
@@ -383,6 +420,12 @@ def main():
             "mfu_f32": round(mfu, 5),
             "hbm_effective_GBps": round(hbm_gbs, 2),
             "blen_opt_wall_s": round(opt_wall, 3),
+            "blen_opt_device_est_s": round(opt_dev, 4),
+            "vs_baseline_64core_device_est": (
+                round(baseline["reference_blen_opt_wall_s"] / opt_dev
+                      * (baseline.get("ncores") or 2) / 64.0, 3)
+                if baseline and "reference_blen_opt_wall_s" in baseline
+                else None),
             "blen_opt_logL": opt_logL,
             "sec_per_logL_1000taxa": round(sec_1000, 6),
             "logL_1000taxa": logL_1000,

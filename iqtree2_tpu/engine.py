@@ -38,10 +38,11 @@ def _loglik_jit(blens, tipP, sched, pack, pattern_weights):
     return pruning.tree_loglik(blens, tipP, sched, pack, pattern_weights)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton"))
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton",
+                                             "force_xla"))
 def _optimize_blens_jit(blens, tipP, sched, pack, pattern_weights,
                         t_min, t_max, n_rounds: int, n_newton: int,
-                        eps=1e-3):
+                        eps=1e-3, force_xla: bool = False):
     """Iterative all-branch Newton via theta buffers with global backtracking.
 
     Each round: down pass (cache msgs) + up pass -> thetas for every edge ->
@@ -54,11 +55,13 @@ def _optimize_blens_jit(blens, tipP, sched, pack, pattern_weights,
     dtype = tipP.dtype
 
     def lg(b):
-        return pruning.tree_loglik(b, tipP, sched, pack, pattern_weights)[0]
+        return pruning.tree_loglik(b, tipP, sched, pack, pattern_weights,
+                                   force_xla=force_xla)[0]
 
     def one_round(blens, logL_prev):
         P = pruning.transition_tensors(blens.astype(dtype), pack)
-        dp, up = pruning.both_passes(P, tipP, sched, pack)
+        dp, up = pruning.both_passes(P, tipP, sched, pack,
+                                     force_xla=force_xla)
         th = pruning.edge_thetas(up, dp, sched["edge_src"], pack)
         newton = jax.vmap(
             lambda t_e, th_e, sc_e: pruning.newton_branch_step(
@@ -67,16 +70,39 @@ def _optimize_blens_jit(blens, tipP, sched, pack, pattern_weights,
         prop = newton(blens.astype(dtype), th.theta, th.scale)
         prop = jnp.clip(prop, t_min, t_max)
 
-        return _backtrack(lg, blens, prop, logL_prev)
+        return _backtrack(lg, blens, prop, logL_prev,
+                          vectorized=force_xla)
 
     return _sweep_until(lg, one_round, blens, n_rounds, eps)
 
 
-def _backtrack(lg, blens_old, prop, logL_prev, n_halve: int = 4):
+def _backtrack(lg, blens_old, prop, logL_prev, n_halve: int = 4,
+               vectorized: bool = False):
     """Monotonic acceptance of a joint Newton proposal: halve toward the
     old lengths (each halving behind lax.cond, so the converged/common
     case pays nothing) and keep the old state if all halvings fail
-    (reference contract: optimizeAllBranches never worsens)."""
+    (reference contract: optimizeAllBranches never worsens).
+
+    vectorized=True evaluates ALL halving candidates in one batched
+    logL call and picks the first acceptable — the form used inside the
+    vmapped multi-candidate programs, where lax.cond lowers to select
+    (both branches execute) and the sequential chain would cost
+    n_halve+1 full evaluations of serialized latency."""
+    if vectorized:
+        cands = [prop]
+        cur = prop
+        for _ in range(n_halve):
+            cur = 0.5 * (cur + blens_old)
+            cands.append(cur)
+        C = jnp.stack(cands)                # [H+1, E]
+        ls = jax.vmap(lg)(C)                # [H+1]
+        ok = ls >= logL_prev - 1e-9         # NaN-safe: NaN -> False
+        idx = jnp.argmax(ok)                # first acceptable
+        any_ok = jnp.any(ok)
+        b = jnp.where(any_ok, C[idx], blens_old)
+        l_new = jnp.where(any_ok, ls[idx], logL_prev)
+        return b, l_new
+
     def halve(state):
         cur, _ = state
         cur = 0.5 * (cur + blens_old)
@@ -135,40 +161,50 @@ def _optimize_blens_v2_jit(blens, tipP, sched, pack, pattern_weights,
     pte = sched["p2e_cfg"].shape[1]
     up_ring_blocks = sched["p2u_cfg"].shape[0]
     ptu = sched["p2t_cfg"].shape[1]
-    e_step = sched["p2_e_step"]
-    e_side = sched["p2_e_side"]
-    e_slot = sched["p2_e_slot"]
     n_steps, G, _ = sched["p2_edge"].shape
 
     def lg(b):
         return pruning.tree_loglik(b, tipP, sched, pack, pattern_weights)[0]
 
     Pp = tipP.shape[2]
-    es = jnp.maximum(e_step, 0)
+    # packed Newton: every (step, slot, side) of the kernel export IS an
+    # edge (the down pass consumes each edge's child partial exactly
+    # once), so the Newton runs directly on the packed theta layout and
+    # only the optimized SCALARS get scattered back to edge order —
+    # no [E, C, S, Pp] gather materialization (2 x 2.1 GB/round of HBM
+    # at 1000 taxa x 16k patterns)
+    edge = sched["p2_edge"]
+    valid = sched["p2_meta_slot"][:, :, 4] > 0
+    nE_pad = n_steps * G
 
     def one_round(blens, logL_prev):
         b = blens.astype(dtype)
+        nE = b.shape[0]
         P = pruning.transition_tensors(b, pack)
         thA, thB, tscA, tscB, th0, tsc0 = pp2.thetas_v2(
             P, tipP, sched, pack, CSP=CSP, ring_blocks=ring_blocks,
             up_ring_blocks=up_ring_blocks, pt=pte, ptu=ptu)
-        # compact per-edge theta [E, C, K, Pp] from the packed exports
-        # (one gather per side + select; padding slots never read)
-        thA4 = thA.reshape(n_steps, G, CSP, Pp)
-        thB4 = thB.reshape(n_steps, G, CSP, Pp)
-        sideA = (e_side == 0)[:, None, None]
-        theta = jnp.where(sideA, thA4[es, e_slot, :CS],
-                          thB4[es, e_slot, :CS]).reshape(
-            -1, C, S, Pp)
-        tsc = jnp.where((e_side == 0)[:, None], tscA[es, e_slot],
-                        tscB[es, e_slot])
-        theta = theta.at[0].set(th0)
-        tsc = tsc.at[0].set(tsc0)
+        eA = jnp.where(valid, edge[:, :, 0], nE).reshape(-1)
+        eB = jnp.where(valid, edge[:, :, 1], nE).reshape(-1)
         newton = jax.vmap(
             lambda t_e, th_e, sc_e: pruning.newton_branch_step(
                 th_e, sc_e, t_e, pack, pack["log_ptn_invar"],
                 pattern_weights, t_min, t_max, n_iter=n_newton))
-        prop = newton(b, theta, tsc)
+
+        def side(th, tsc, eX):
+            th_p = th.reshape(nE_pad, CSP, Pp)[:, :CS].reshape(
+                nE_pad, C, S, Pp)
+            return newton(b[jnp.minimum(eX, nE - 1)], th_p,
+                          tsc.reshape(nE_pad, Pp))
+        pA = side(thA, tscA, eA)
+        pB = side(thB, tscB, eB)
+        p0 = pruning.newton_branch_step(
+            th0, tsc0, b[0], pack, pack["log_ptn_invar"],
+            pattern_weights, t_min, t_max, n_iter=n_newton)
+        # out-of-range indices (padding slots) are dropped by scatter
+        prop = (b.at[eA].set(pA, mode="drop")
+                 .at[eB].set(pB, mode="drop")
+                 .at[0].set(p0))
         prop = jnp.clip(prop, t_min, t_max)
         return _backtrack(lg, blens, prop, logL_prev)
 
@@ -332,11 +368,13 @@ _OPT_KINDS = {"std": _optimize_blens_jit, "v2": _optimize_blens_v2_jit,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_rounds", "n_newton",
-                                             "nni5", "nonrev", "want_lp"))
+                                             "nni5", "nonrev", "want_lp",
+                                             "force_xla"))
 def _opt_nni_flat_jit(cand, blens, tipP, sched, pack, pw, t_min, t_max,
                       kind: str = "std", n_rounds: int = 4,
                       n_newton: int = 4, nni5: bool = False,
-                      nonrev: bool = False, want_lp: bool = False):
+                      nonrev: bool = False, want_lp: bool = False,
+                      force_xla: bool = False):
     """One fused NNI-round program: all-branch optimization, down+up
     passes on the OPTIMIZED lengths, NNI candidate scoring, and
     (optionally) the optimized tree's per-pattern log-likelihoods —
@@ -349,10 +387,16 @@ def _opt_nni_flat_jit(cand, blens, tipP, sched, pack, pw, t_min, t_max,
     doNNISearch round, tree/iqtree.cpp:2998)."""
     from iqtree2_tpu.ops.nni import evaluate_nnis, evaluate_nnis5
     dtype = tipP.dtype
-    nb, logL = _OPT_KINDS[kind](blens, tipP, sched, pack, pw,
-                                t_min, t_max, n_rounds, n_newton)
+    if force_xla:
+        nb, logL = _optimize_blens_jit(blens, tipP, sched, pack, pw,
+                                       t_min, t_max, n_rounds, n_newton,
+                                       force_xla=True)
+    else:
+        nb, logL = _OPT_KINDS[kind](blens, tipP, sched, pack, pw,
+                                    t_min, t_max, n_rounds, n_newton)
     P = pruning.transition_tensors(nb.astype(dtype), pack)
-    dp, up = pruning.both_passes(P, tipP, sched, pack)
+    dp, up = pruning.both_passes(P, tipP, sched, pack,
+                                 force_xla=force_xla)
     if nni5:
         out = evaluate_nnis5(cand, nb.astype(dtype), dp, up, sched, pack,
                              pw, t_min, t_max, nonrev=nonrev)
@@ -384,6 +428,40 @@ def _opt_flat_jit(blens, tipP, sched, pack, pw, t_min, t_max,
     nb, logL = fn(blens, tipP, sched, pack, pw, t_min, t_max,
                   n_rounds, n_newton)
     return jnp.concatenate([nb.reshape(-1), logL.reshape(1)])
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton",
+                                             "nni5", "nonrev", "want_lp"))
+def _opt_nni_flat_batch_jit(cand, blens, tipP, sched, pack, pw, t_min,
+                            t_max, n_rounds: int = 4, n_newton: int = 4,
+                            nni5: bool = False, nonrev: bool = False,
+                            want_lp: bool = False):
+    """K lockstep fused NNI rounds in ONE program: vmap over
+    (candidates, branch lengths, schedule arrays) of K same-size
+    topologies; model/tip arrays broadcast. Pinned to the XLA scan path
+    (vmap-safe). One dispatch + one pull scores K whole perturb+NNI
+    iterations — the tunnel charges ~35 ms latency per pull, so this is
+    the search-wall lever (round-4 VERDICT Next #3); reference analog:
+    the MPI-parallel candidate iterations of tree/iqtree.cpp:2196."""
+    def one(c, b, sd):
+        return _opt_nni_flat_jit(c, b, tipP, sd, pack, pw, t_min, t_max,
+                                 kind="std", n_rounds=n_rounds,
+                                 n_newton=n_newton, nni5=nni5,
+                                 nonrev=nonrev, want_lp=want_lp,
+                                 force_xla=True)
+    return jax.vmap(one)(cand, blens, sched)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_newton"))
+def _opt_flat_batch_jit(blens, tipP, sched, pack, pw, t_min, t_max,
+                        n_rounds: int = 4, n_newton: int = 4):
+    """K branch optimizations in one program (start-tree screening)."""
+    def one(b, sd):
+        nb, logL = _optimize_blens_jit(b, tipP, sd, pack, pw, t_min,
+                                       t_max, n_rounds, n_newton,
+                                       force_xla=True)
+        return jnp.concatenate([nb.reshape(-1), logL.reshape(1)])
+    return jax.vmap(one)(blens, sched)
 
 
 class LikelihoodEngine:
@@ -744,6 +822,108 @@ class LikelihoodEngine:
         if want_lp:
             outs.append(flat[off:off + self.Pp][: self.aln.num_patterns])
         return (opt_logL, *outs)
+
+    def _stack_scheds(self, scheds) -> dict:
+        """Stack K same-size topologies' schedule arrays for the batched
+        (vmapped, XLA-path) programs; the per-topology p2* plan arrays
+        are stripped (the XLA scans don't read them). step_node's level
+        count varies by topology (bucketed to multiples of 4): pad every
+        tree to the batch max with n_int rows (the scatter-drop padding
+        value), so one compiled batch program serves all topologies."""
+        sas = [self.schedule_arrays(s) for s in scheds]
+        keys = [k for k in sas[0] if not k.startswith("p2")]
+        n_int = scheds[0].n_int
+        max_steps = max(sa["step_node"].shape[0] for sa in sas)
+        max_steps = -(-max_steps // 8) * 8    # one bucket per 8 levels
+        out = {}
+        for k in keys:
+            arrs = [sa[k] for sa in sas]
+            if k == "step_node":
+                arrs = [jnp.pad(a, ((0, max_steps - a.shape[0]), (0, 0)),
+                                constant_values=n_int) for a in arrs]
+            out[k] = jnp.stack(arrs)
+        return out
+
+    def optimize_and_evaluate_nnis_batch(self, trees, scheds, cand_list,
+                                         n_rounds: int = 4,
+                                         t_min: float = DEFAULT_MIN_BLEN,
+                                         t_max: float = DEFAULT_MAX_BLEN,
+                                         nni5: bool = False,
+                                         want_lp: bool = False):
+        """Fused NNI round for K trees in ONE dispatch + ONE pull.
+
+        Same contract as optimize_and_evaluate_nnis, per tree: writes
+        optimized lengths back into trees[k]/scheds[k] and returns a
+        list of (opt_logL, logl [n,3], t_opt [n,3][, t5][, lp])."""
+        from iqtree2_tpu.tree.schedule import write_blens_to_tree
+        K = len(trees)
+        # candidate counts can differ per topology: pad to the widest
+        # (duplicating row 0) and truncate each tree's outputs back to
+        # its true count below
+        ns = [int(c.shape[1]) for c in cand_list]
+        n = max(max(ns), 1)
+        nonrev = self._dev_pack.get("Q") is not None
+
+        def _pad(c):
+            if c.shape[1] == n:
+                return np.asarray(c)
+            if c.shape[1] == 0:
+                return np.zeros((c.shape[0], n), c.dtype)
+            return np.concatenate(
+                [c, np.repeat(c[:, :1], n - c.shape[1], axis=1)], axis=1)
+        cand = jnp.asarray(np.stack([_pad(np.asarray(c))
+                                     for c in cand_list]))
+        blens = jnp.stack([
+            jnp.asarray(np.maximum(s.blens, t_min), self.dtype)
+            for s in scheds])
+        sd = self._stack_scheds(scheds)
+        out = np.asarray(_opt_nni_flat_batch_jit(
+            cand, blens, self._dev_tipP, sd, self._dev_pack, self._dev_pw,
+            self._dev_scalar(t_min), self._dev_scalar(t_max),
+            n_rounds=n_rounds, nni5=nni5, nonrev=nonrev,
+            want_lp=want_lp), np.float64)
+        results = []
+        nE = len(scheds[0].blens)
+        for k in range(K):
+            flat = out[k]
+            nb = flat[:nE]
+            write_blens_to_tree(trees[k], scheds[k], nb)
+            scheds[k].blens[:] = nb
+            off = nE
+            opt_logL = float(flat[off]); off += 1
+            shapes = [(n, 3), (n, 3)] + ([(n, 3, 5)] if nni5 else [])
+            outs = []
+            for shp in shapes:
+                cnt = int(np.prod(shp))
+                outs.append(flat[off:off + cnt].reshape(shp)[:ns[k]])
+                off += cnt
+            if want_lp:
+                outs.append(flat[off:off + self.Pp]
+                            [: self.aln.num_patterns])
+            results.append((opt_logL, *outs))
+        return results
+
+    def optimize_branches_batch(self, trees, n_rounds: int = 4,
+                                n_newton: int = 4,
+                                t_min: float = DEFAULT_MIN_BLEN,
+                                t_max: float = DEFAULT_MAX_BLEN):
+        """Branch-optimize K same-size trees in ONE dispatch; returns
+        their logLs (lengths written back in place)."""
+        from iqtree2_tpu.tree.schedule import write_blens_to_tree
+        scheds = [build_schedule(t) for t in trees]
+        blens = jnp.stack([
+            jnp.asarray(np.maximum(s.blens, t_min), self.dtype)
+            for s in scheds])
+        sd = self._stack_scheds(scheds)
+        out = np.asarray(_opt_flat_batch_jit(
+            blens, self._dev_tipP, sd, self._dev_pack, self._dev_pw,
+            self._dev_scalar(t_min), self._dev_scalar(t_max),
+            n_rounds=n_rounds, n_newton=n_newton), np.float64)
+        logLs = []
+        for k, (t, s) in enumerate(zip(trees, scheds)):
+            write_blens_to_tree(t, s, out[k, :-1])
+            logLs.append(float(out[k, -1]))
+        return logLs
 
     def optimize_branches(self, tree: Tree, n_rounds: int = 10,
                           n_newton: int = 4,

@@ -113,7 +113,7 @@ def build_tip_streams(tipP, tip, TSP: int):
 
 # ------------------------------------------------------------------- kernel
 def _make_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int,
-                 export: bool):
+                 export: bool, slim: bool = False):
     """Streaming traversal kernel.
 
     sitelp mode (export=False): per-node scale counts are NOT tracked —
@@ -125,11 +125,21 @@ def _make_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int,
     export mode: per-node cumulative scale counts are kept in a sidecar
     ring at 8-row pitch (Mosaic dynamic stores must be sublane-aligned)
     and exported alongside the partials.
+
+    slim export mode (export=True, slim=True): the theta-pass feeder —
+    exports only what the theta up-kernel consumes (rhs blocks + child
+    scale rows) plus the ROOT partial/scale as dedicated outputs,
+    skipping the [n_steps, R, Pp] per-node partial export entirely
+    (1 GB/round of pure waste at 1000 taxa x 16k patterns).
     """
     def kernel(ms_ref, sl_ref,
                tipA, tipB, opA, opB, topA, topB, pres0, wf, tip0, loginv,
                *rest):
-        if export:
+        if export and slim:
+            (lp_out, rhsA_out, rhsB_out, scA_out, scB_out, root_out,
+             rootsc_out) = rest[:7]
+            ring, scr, broot, scroot = rest[7:]
+        elif export:
             (lp_out, part_out, sc_out, rhsA_out, rhsB_out, scA_out,
              scB_out) = rest[:7]
             ring, scr, broot, scroot = rest[7:]
@@ -202,10 +212,15 @@ def _make_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int,
                 if export:
                     scroot[...] = jnp.broadcast_to(scs[g][None, :],
                                                    (8, pt))
+                    if slim:
+                        root_out[...] = prod[g]
+                        rootsc_out[...] = jnp.broadcast_to(
+                            scs[g][None, :], (8, pt))
 
         if export:
-            part_out[0] = prod.reshape(R, pt)
-            sc_out[0] = jnp.stack(scs)
+            if not slim:
+                part_out[0] = prod.reshape(R, pt)
+                sc_out[0] = jnp.stack(scs)
             # RHS blocks + child scale rows feed the streaming up pass
             rhsA_out[0] = ra
             rhsB_out[0] = rb
@@ -226,14 +241,19 @@ def _make_kernel(G: int, CSP: int, R: int, n_steps: int, pt: int,
 
 
 @functools.partial(jax.jit, static_argnames=("CSP", "ring_blocks", "pt",
-                                             "export", "interpret"))
+                                             "export", "slim",
+                                             "interpret"))
 def stream_pass(meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB,
                 pres0, wf_pad, tip0, log_inv, CSP: int, ring_blocks: int,
-                pt: int, export: bool = False, interpret: bool = False):
+                pt: int, export: bool = False, slim: bool = False,
+                interpret: bool = False):
     """Run the streaming traversal.
 
     Returns lp [Pp] (site log-likelihoods, invariant-corrected), and with
     export=True also (partials [n_steps, R, Pp], scales [n_steps, G, Pp]).
+    With export=True, slim=True the per-node partial export is skipped:
+    returns (lp, rhsA, rhsB, scA, scB, root_part [CSP, Pp],
+    root_sc [Pp]) — the exact inputs of the theta up-pass.
     """
     n_steps, G, _2 = meta_slot.shape[0], meta_slot.shape[1], None
     R = G * CSP
@@ -268,7 +288,26 @@ def stream_pass(meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB,
     out_shape = [jax.ShapeDtypeStruct((1, Pp), jnp.float32)]
     out_specs = [pl.BlockSpec((1, pt), lambda i, s, *_: (0, i),
                               memory_space=pltpu.VMEM)]
-    if export:
+    if export and slim:
+        out_shape += [
+            jax.ShapeDtypeStruct((n_steps, R, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, R, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, G, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, G, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((CSP, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Pp), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((1, R, pt), im_tile_last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, pt), im_tile_last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, pt), im_tile_last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, pt), im_tile_last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CSP, pt), lambda i, s, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, pt), lambda i, s, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+    elif export:
         out_shape += [
             jax.ShapeDtypeStruct((n_steps, R, Pp), jnp.float32),
             jax.ShapeDtypeStruct((n_steps, G, Pp), jnp.float32),
@@ -301,7 +340,7 @@ def stream_pass(meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB,
 
     flops_mm = 2 * n_steps * n_tiles * (2 * R * R * pt + 2 * R * TSP * pt)
     out = pl.pallas_call(
-        _make_kernel(G, CSP, R, n_steps, pt, export),
+        _make_kernel(G, CSP, R, n_steps, pt, export, slim),
         grid_spec=grid_spec,
         out_shape=tuple(out_shape) if export else out_shape[0],
         cost_estimate=pl.CostEstimate(
@@ -312,6 +351,9 @@ def stream_pass(meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB,
         interpret=interpret,
     )(meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB, pres0,
       wf_pad, tip0, log_inv)
+    if export and slim:
+        lp, rhsA, rhsB, scA, scB, root_part, root_sc = out
+        return lp[0], rhsA, rhsB, scA, scB, root_part, root_sc[0]
     if export:
         lp, parts, scs, rhsA, rhsB, scA, scB = out
         return lp[0], parts, scs, rhsA, rhsB, scA, scB
@@ -794,15 +836,10 @@ def thetas_v2(P, tipP, pa, pack, CSP: int, ring_blocks: int,
         tipA, tipB, tip0 = build_tip_streams(tipP, tip, TSP)
     wf_dummy = jnp.zeros((CSP, 1), jnp.float32)
     log_inv0 = jnp.full((1, Pp), -jnp.inf, jnp.float32)
-    _, parts, scs, rhsA, rhsB, scA, scB = stream_pass(
+    _, rhsA, rhsB, scA, scB, root_down, root_dsc = stream_pass(
         meta_step, meta_slot, tipA, tipB, opA, opB, topA, topB, pres0,
         wf_dummy, tip0, log_inv0, CSP=CSP, ring_blocks=ring_blocks,
-        pt=pt, export=True, interpret=interpret)
-
-    rstep, rslot = pa["p2u_root_step"], pa["p2u_root_slot"]
-    parts4 = parts.reshape(n_steps, G, CSP, Pp)
-    root_down = parts4[rstep, rslot]                    # [CSP, Pp]
-    root_dsc = scs[rstep, rslot]                        # [Pp]
+        pt=pt, export=True, slim=True, interpret=interpret)
     root_freqs = pack["root_freqs"]
     rf = jnp.pad(root_freqs.reshape(CS), (0, CSP - CS))[:, None]
 

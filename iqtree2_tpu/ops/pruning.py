@@ -164,7 +164,7 @@ def _v2_env_ok(tipP) -> bool:
     return platform in ("tpu", "axon")
 
 
-def down_pass(P, tipP, sched) -> DownPass:
+def down_pass(P, tipP, sched, force_xla: bool = False) -> DownPass:
     """Post-order sweep computing internal-node partials.
 
     P: [E, C, S, S] transition tensors; tipP: [L, S, Ppat] leaf partials.
@@ -175,7 +175,7 @@ def down_pass(P, tipP, sched) -> DownPass:
     the internal partials; otherwise a level-batched XLA scan.
     """
     C = P.shape[1]
-    if _pallas_env_ok(tipP, C):
+    if not force_xla and _pallas_env_ok(tipP, C):
         from iqtree2_tpu.ops import pallas_pruning
         S = tipP.shape[1]
         pt = pallas_pruning.pick_pattern_tile_export(
@@ -356,7 +356,7 @@ def _pallas_tile(tipP, pack, sched) -> int | None:
 
 
 def tree_loglik(blens, tipP, sched, pack, pattern_weights,
-                axis_name: str | None = None):
+                axis_name: str | None = None, force_xla: bool = False):
     """Full tree log-likelihood in one call.
 
     sched: dict of device schedule arrays; pack: dict of model arrays
@@ -368,8 +368,9 @@ def tree_loglik(blens, tipP, sched, pack, pattern_weights,
     fallbacks.
     """
     P = transition_tensors(blens.astype(tipP.dtype), pack)
-    pt = _pallas_tile(tipP, pack, sched)
-    if pt is None and "p2_cfg" in sched and _v2_env_ok(tipP):
+    pt = None if force_xla else _pallas_tile(tipP, pack, sched)
+    if (not force_xla and pt is None and "p2_cfg" in sched
+            and _v2_env_ok(tipP)):
         # v2 streaming kernel: any tree size / state count (VMEM ring).
         from iqtree2_tpu.ops import pallas_pruning2 as pp2
         from iqtree2_tpu.tree import plan2
@@ -401,13 +402,15 @@ def tree_loglik(blens, tipP, sched, pack, pattern_weights,
                        asc_nsites=pack.get("asc_nsites"))
 
 
-def both_passes(P, tipP, sched, pack):
+def both_passes(P, tipP, sched, pack, force_xla: bool = False):
     """(DownPass, UpPass) with the fastest applicable backend:
     v1 whole-tree-in-VMEM Pallas (small trees), v2 streaming Pallas
-    (any size; needs the p2u_* plan arrays), or the XLA scans."""
+    (any size; needs the p2u_* plan arrays), or the XLA scans.
+    force_xla=True pins the XLA scan path (vmap-safe — the batched
+    multi-candidate NNI programs map over it)."""
     C = P.shape[1]
     use_v1 = False
-    if _pallas_env_ok(tipP, C):
+    if not force_xla and _pallas_env_ok(tipP, C):
         from iqtree2_tpu.ops import pallas_pruning
         S = tipP.shape[1]
         n_int = sched["child_src"].shape[0]
@@ -417,7 +420,8 @@ def both_passes(P, tipP, sched, pack):
             pallas_pruning.pick_pattern_tile_up(
                 tipP.shape[2], tipP.shape[0], n_int, C * S, S,
                 sched["edge_src"].shape[0]) is not None)
-    if not use_v1 and "p2u_cfg" in sched and _v2_env_ok(tipP):
+    if (not force_xla and not use_v1 and "p2u_cfg" in sched
+            and _v2_env_ok(tipP)):
         from iqtree2_tpu.ops import pallas_pruning2 as pp2
         from iqtree2_tpu.tree import plan2
         ring_blocks = sched["p2_cfg"].shape[0]
@@ -428,8 +432,9 @@ def both_passes(P, tipP, sched, pack):
                              CSP=CSP, ring_blocks=ring_blocks,
                              up_ring_blocks=up_ring_blocks, pt=pte,
                              ptu=ptu)
-    dp = down_pass(P, tipP, sched)
-    up = up_pass(P, dp, tipP, sched, pack["root_freqs"])
+    dp = down_pass(P, tipP, sched, force_xla=force_xla)
+    up = up_pass(P, dp, tipP, sched, pack["root_freqs"],
+                 force_xla=force_xla)
     return dp, up
 
 
@@ -441,7 +446,8 @@ class UpPass(NamedTuple):
     up_scale: jax.Array      # [n_int, Ppat]
 
 
-def up_pass(P, dp: DownPass, tipP, sched, root_freqs) -> UpPass:
+def up_pass(P, dp: DownPass, tipP, sched, root_freqs,
+            force_xla: bool = False) -> UpPass:
     """Pre-order sweep: for every edge e=(child v, parent u), compute
     E_e(c,x,p) = likelihood of everything outside v's subtree as a function
     of u's state x (stationary frequencies folded in at the root).
@@ -450,7 +456,7 @@ def up_pass(P, dp: DownPass, tipP, sched, root_freqs) -> UpPass:
     level-batched XLA scan below.
     """
     C = P.shape[1]
-    if _pallas_env_ok(tipP, C):
+    if not force_xla and _pallas_env_ok(tipP, C):
         from iqtree2_tpu.ops import pallas_pruning
         S = tipP.shape[1]
         L = tipP.shape[0]

@@ -68,6 +68,13 @@ class TreeSearch:
         self.ckp = ckp        # optional Checkpoint (mid-search resume)
         self.constraint = constraint   # optional TopologyConstraint (-g)
         self._resume_iter = 0
+        # lockstep candidate batching (plain LikelihoodEngine only:
+        # mixlen subclasses carry per-class length state and partition
+        # engines their own batching — both fall back to serial)
+        import os
+        self.batch_iterations = (
+            int(os.environ.get("IQTREE2_TPU_SEARCH_BATCH", "8"))
+            if type(eng) is LikelihoodEngine else 1)
 
     # ----------------------------------------------------------- checkpoint
     def _save_ckp(self, it: int, stop: "StopRule") -> None:
@@ -138,16 +145,34 @@ class TreeSearch:
         # quick branch optimization on the best parsimony trees
         top = scored[: max(p.n_nni_trees, 1)]
         self.log(f"Optimizing {len(top)} best start trees...")
-        for _, t in top:
-            logL = self.eng.optimize_branches(t, n_rounds=4)
-            self._save_tree(t, logL)
-            self.cands.update(t, logL)
+        if self.batch_iterations > 1 and len(top) > 1:
+            ts = [t for _, t in top]
+            logLs = self.eng.optimize_branches_batch(ts, n_rounds=4)
+            for t, logL in zip(ts, logLs):
+                self._save_tree(t, logL)
+                self.cands.update(t, logL)
+        else:
+            for _, t in top:
+                logL = self.eng.optimize_branches(t, n_rounds=4)
+                self._save_tree(t, logL)
+                self.cands.update(t, logL)
         # NNI-polish the best few into proper local optima
-        for it in list(self.cands.items[: p.pop_size]):
-            t = it.tree.copy()
-            res, lp = self._nni_opt(t)
-            self._save_tree(t, res.logL, lp)
-            self.cands.update(t, res.logL)
+        polish = [it.tree.copy()
+                  for it in list(self.cands.items[: p.pop_size])]
+        if self.batch_iterations > 1 and len(polish) > 1:
+            from iqtree2_tpu.search.nni import nni_optimize_batch
+            outs = nni_optimize_batch(
+                self.eng, polish, loglh_epsilon=self.params.loglh_epsilon,
+                constraint=self.constraint,
+                want_lp=self.ufboot is not None)
+            for t, (res, lp) in zip(polish, outs):
+                self._save_tree(t, res.logL, lp)
+                self.cands.update(t, res.logL)
+        else:
+            for t in polish:
+                res, lp = self._nni_opt(t)
+                self._save_tree(t, res.logL, lp)
+                self.cands.update(t, res.logL)
         self.log(f"Initial best logL: {self.cands.best_score():.4f}")
 
     # ---------------------------------------------------------- main loop
@@ -164,31 +189,62 @@ class TreeSearch:
             self.init_candidates()
             self._save_ckp(0, stop)
         it = self._resume_iter
-        while True:
-            it += 1
-            cand = self.cands.random_top(self.rng)
-            t = cand.tree.copy()
-            if p.use_iqp and self.constraint is None:
-                iqp_perturb(t, self.aln, self.rng)
+        # batched iterations: K perturbed candidates hill-climb in
+        # lockstep, one fused dispatch per NNI round for ALL of them
+        # (engine._opt_nni_flat_batch_jit) — the tunnel charges ~35 ms
+        # per pull, so K iterations cost ~1/K of the serial wall.
+        # Reference analog: the MPI-rank-parallel candidate iterations
+        # of doTreeSearch (tree/iqtree.cpp:2196).
+        K = self.batch_iterations
+        stopping = False
+        while not stopping:
+            # never let a potential stop land mid-batch: the RNG draw
+            # sequence must match the serial schedule for checkpoint
+            # resume to be bit-identical
+            ufstep = (self.ufboot.step_iterations
+                      if self.ufboot is not None else None)
+            # align blocks to the absolute K-grid and never cross the
+            # earliest potential stop: checkpoints land exactly on block
+            # boundaries, making the K-block the atomic resume unit
+            kk = max(1, min(K - (it % K), stop.earliest_stop(ufstep) - it))
+            trees = []
+            for _ in range(kk):
+                cand = self.cands.random_top(self.rng)
+                t = cand.tree.copy()
+                if p.use_iqp and self.constraint is None:
+                    iqp_perturb(t, self.aln, self.rng)
+                else:
+                    random_nnis(t, self.rng, p.pertub_strength,
+                                constraint=self.constraint)
+                trees.append(t)
+            if kk == 1:
+                res0, lp0 = self._nni_opt(trees[0])
+                outs = [(res0, lp0)]
             else:
-                random_nnis(t, self.rng, p.pertub_strength,
-                            constraint=self.constraint)
-            res, lp = self._nni_opt(t)
-            self._save_tree(t, res.logL, lp)
-            improved = res.logL > self.cands.best_score() + p.loglh_epsilon
-            self.cands.update(t, res.logL)
-            if improved:
-                stop.note_improvement(it)
-                self.log(f"BETTER TREE FOUND at iteration {it}: "
-                         f"{res.logL:.4f}")
-            corr_done = None
-            if self.ufboot is not None and \
-                    it % self.ufboot.step_iterations == 0:
-                corr_done = self.ufboot.check_convergence()
+                from iqtree2_tpu.search.nni import nni_optimize_batch
+                outs = nni_optimize_batch(
+                    self.eng, trees,
+                    loglh_epsilon=p.loglh_epsilon,
+                    constraint=self.constraint,
+                    want_lp=self.ufboot is not None)
+            for t, (res, lp) in zip(trees, outs):
+                it += 1
+                self._save_tree(t, res.logL, lp)
+                improved = (res.logL
+                            > self.cands.best_score() + p.loglh_epsilon)
+                self.cands.update(t, res.logL)
+                if improved:
+                    stop.note_improvement(it)
+                    self.log(f"BETTER TREE FOUND at iteration {it}: "
+                             f"{res.logL:.4f}")
+                corr_done = None
+                if self.ufboot is not None and \
+                        it % self.ufboot.step_iterations == 0:
+                    corr_done = self.ufboot.check_convergence()
+                if stop.should_stop(it, corr_done):
+                    stopping = True
+                    break
             self._save_ckp(it, stop)
-            if stop.should_stop(it, corr_done):
-                self._save_ckp(it, stop)
-                break
         best = self.cands.best()
         return SearchResult(best_tree=best.tree.copy(),
                             best_logL=best.logL, n_iterations=it,

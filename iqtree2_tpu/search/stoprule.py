@@ -41,3 +41,19 @@ class StopRule:
             return correlation_converged and \
                 iteration - self.last_improved >= self.unsuccess_iteration
         return iteration - self.last_improved >= self.unsuccess_iteration
+
+    def earliest_stop(self, ufboot_step: int | None = None) -> int:
+        """Smallest future iteration at which should_stop COULD return
+        True given the current state (improvements only push it later).
+        Batched search uses this to size each candidate batch so a stop
+        never lands mid-batch — keeping the RNG draw sequence, and hence
+        checkpoint resume, identical to the serial schedule."""
+        if self.fixed_iterations is not None:
+            return self.fixed_iterations
+        bound = max(self.min_iterations,
+                    self.last_improved + self.unsuccess_iteration)
+        if self.use_correlation and ufboot_step:
+            # correlation stops only at multiples of the UFBoot step
+            b = -(-bound // ufboot_step) * ufboot_step
+            bound = b
+        return min(bound, self.max_iterations)

@@ -1,6 +1,12 @@
 """Mid-search checkpoint/resume: an interrupted search must resume and
 produce the IDENTICAL final tree and candidate set as an uninterrupted run
 (reference: doTreeSearch checkpoint guards, tree/iqtree.cpp:2221-2233).
+
+Iterations run in lockstep blocks of K candidates (one fused batched
+dispatch per NNI round — search.py batch_iterations); checkpoints land
+exactly on block boundaries, so the K-block is the atomic resume unit and
+interruption points are block-aligned (like the reference's MPI-rank
+iteration batches).
 """
 import numpy as np
 import jax.numpy as jnp
@@ -23,20 +29,21 @@ def test_resume_identical(tmp_path):
     eng, _ = _setup(10, npat=96, seed=2)
     aln = eng.aln
 
-    # uninterrupted run
-    res_full = _search(eng, aln, None).run()
+    # uninterrupted run: two full 8-iteration blocks
+    res_full = _search(eng, aln, None, fixed_iterations=16).run()
 
-    # interrupted at iteration 4: run with a checkpoint capped at 4 iters
+    # interrupted after one full block (8 = the batch size: checkpoints
+    # land on block boundaries, the atomic resume unit)
     ckp_path = tmp_path / "s.ckp.gz"
     ckp = Checkpoint(ckp_path, dump_interval=0.0)
-    _search(eng, aln, ckp, fixed_iterations=4).run()
+    _search(eng, aln, ckp, fixed_iterations=8).run()
     assert ckp_path.exists()
 
     # resume: fresh searcher, same params, full iteration budget
     ckp2 = Checkpoint(ckp_path, dump_interval=0.0)
     ckp2.load()
-    assert ckp2.get("search.iteration") == 4
-    res_resumed = _search(eng, aln, ckp2).run()
+    assert ckp2.get("search.iteration") == 8
+    res_resumed = _search(eng, aln, ckp2, fixed_iterations=16).run()
 
     assert res_resumed.best_tree.topology_id() == \
         res_full.best_tree.topology_id()
@@ -50,16 +57,17 @@ def test_resume_with_ufboot(tmp_path):
     eng, _ = _setup(8, npat=64, seed=9)
     aln = eng.aln
     uf_full = UFBoot(aln, n_replicates=50, seed=7)
-    res_full = _search(eng, aln, None, ufboot=uf_full).run()
+    res_full = _search(eng, aln, None, ufboot=uf_full,
+                       fixed_iterations=16).run()
 
     ckp = Checkpoint(tmp_path / "u.ckp.gz", dump_interval=0.0)
     uf1 = UFBoot(aln, n_replicates=50, seed=7)
-    _search(eng, aln, ckp, ufboot=uf1, fixed_iterations=4).run()
+    _search(eng, aln, ckp, ufboot=uf1, fixed_iterations=8).run()
 
     ckp2 = Checkpoint(tmp_path / "u.ckp.gz", dump_interval=0.0)
     ckp2.load()
     uf2 = UFBoot(aln, n_replicates=50, seed=7)
-    res2 = _search(eng, aln, ckp2, ufboot=uf2).run()
+    res2 = _search(eng, aln, ckp2, ufboot=uf2, fixed_iterations=16).run()
 
     assert res2.best_tree.topology_id() == res_full.best_tree.topology_id()
     np.testing.assert_allclose(uf2.boot_logl, uf_full.boot_logl, atol=1e-4)

@@ -94,3 +94,25 @@ def test_jaxfit_batch_matches_sequential(example_aln, ref_tree):
         ref = jaxfit.try_fit(eng, ref_tree.copy(), epsilon=0.1,
                              dtype=jnp.float64)
         assert got == pytest.approx(ref, abs=1.0), name
+
+
+def test_nni_optimize_batch_matches_serial():
+    """The lockstep batched NNI hill-climb (one vmapped dispatch per
+    round) must reach the same optimum as the serial per-tree climb on
+    each tree (engine._opt_nni_flat_batch_jit / nni_optimize_batch)."""
+    import numpy as np
+    from tests.test_pallas2 import _setup
+    from iqtree2_tpu.search.nni import nni_optimize, nni_optimize_batch
+    from iqtree2_tpu.tree.topology import Tree
+
+    eng, _ = _setup(10, npat=128, seed=5)
+    rng = np.random.default_rng(3)
+    trees_a = [Tree.random_topology(eng.aln.names, rng) for _ in range(3)]
+    trees_b = [t.copy() for t in trees_a]
+    serial = [nni_optimize(eng, t).logL for t in trees_a]
+    batched = [r.logL for r, _ in nni_optimize_batch(eng, trees_b)]
+    for s, b in zip(serial, batched):
+        assert abs(s - b) < 0.05, (s, b)
+    # identical topologies reached
+    for ta, tb in zip(trees_a, trees_b):
+        assert ta.topology_id() == tb.topology_id()
